@@ -1,0 +1,29 @@
+"""PolGen-RVC-TPU: a TPU-native (JAX/XLA/Pallas) voice-conversion framework.
+
+Re-implements the full capability surface of the PolGen-RVC reference
+application (RVC v2 inference: HuBERT content encoding, neural F0 prediction,
+feature retrieval, VITS/NSF-HiFi-GAN synthesis, Edge-TTS voice-over, audio
+effects + mixdown, CLIs/UI/model management) as an idiomatic JAX framework:
+
+- all device compute is jitted XLA with static shapes (fixed-shape chunking +
+  overlap trim, zero recompiles for long-form audio),
+- parameters live in plain pytrees converted once from PyTorch checkpoints
+  (weight-norm and batch-norm folded at conversion time),
+- long songs batch their chunks and shard them over a ``jax.sharding.Mesh``
+  (data parallel over ICI), with optional tensor parallelism for the content
+  encoder,
+- host-side subsystems (codecs, effects streaming, downloads, UI) are native
+  C++ or thin Python, isolated from the compiled graphs.
+
+Layer map (mirrors reference capabilities; see SURVEY.md):
+    ops/        pure jittable DSP + torch-semantics ops (conv, GRU, interp)
+    models/     synthesizer / hubert / rmvpe / crepe / fcpe as pure functions
+    convert/    checkpoint + faiss-index converters (torch -> pytree)
+    retrieval/  HBM-resident exact top-k feature retrieval
+    pipeline/   the conversion engine (chunk planner + jitted graphs + cache)
+    parallel/   mesh setup and sharding policies
+    app/        CLIs, pipelines, effects, mixdown, TTS, model manager, UI
+    native/     C++ host-side DSP (effects, wav IO) with ctypes bindings
+"""
+
+__version__ = "0.1.0"

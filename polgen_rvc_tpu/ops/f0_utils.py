@@ -1,0 +1,92 @@
+"""F0 post-processing: pitch shift, coarse mel quantization, cents decoding.
+
+Reproduces VC.get_f0's pitch math (/root/reference/rvc/infer/
+pipeline.py:183-201) and the RMVPE/CREPE cents<->Hz mapping
+(RMVPE.py:459-516): bin cents = 20*i + 1997.3794084376191,
+f0 = 10 * 2^(cents/1200).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+CENTS_OFFSET = 1997.3794084376191
+N_PITCH_BINS = 360
+
+
+def pitch_shift(f0, semitones):
+    """f0 * 2^(semitones/12) (pipeline.py:183)."""
+    return f0 * (2.0 ** (jnp.asarray(semitones, jnp.float32) / 12.0))
+
+
+def coarse_f0(f0, f0_min: float = 50.0, f0_max: float = 1100.0):
+    """Quantize Hz to the synthesizer's 1..255 coarse mel bins (int).
+
+    Matches pipeline.py:193-201: mel = 1127*ln(1+f/700), linearly mapped so
+    [f0_min, f0_max] -> [1, 255], clipped, rounded half-to-even (np.rint).
+    """
+    f0 = jnp.asarray(f0)
+    mel_min = 1127.0 * np.log(1.0 + f0_min / 700.0)
+    mel_max = 1127.0 * np.log(1.0 + f0_max / 700.0)
+    mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    scaled = jnp.where(mel > 0, (mel - mel_min) * 254.0 / (mel_max - mel_min) + 1.0, mel)
+    scaled = jnp.clip(scaled, 1.0, 255.0)
+    # jnp.rint rounds half-to-even, same as np.rint in the reference
+    return jnp.rint(scaled).astype(jnp.int32)
+
+
+def bin_cents_table() -> np.ndarray:
+    """Cents value of each of the 360 salience bins (RMVPE.py:459)."""
+    return (20.0 * np.arange(N_PITCH_BINS) + CENTS_OFFSET).astype(np.float32)
+
+
+def cents_to_hz(cents):
+    return 10.0 * (2.0 ** (cents / 1200.0))
+
+
+def hz_to_cents(f0):
+    return 1200.0 * jnp.log2(jnp.asarray(f0) / 10.0)
+
+
+def local_average_cents(salience, threshold: float = 0.03):
+    """Decode (T, 360) salience to cents by ±4-bin weighted average.
+
+    Vectorized equivalent of RMVPE0Predictor.to_local_average_cents
+    (RMVPE.py:498-516): argmax bin, weighted mean of salience over the
+    9-bin window around it, zero where peak salience <= threshold.
+    Fully jittable (gather instead of python loop).
+    """
+    salience = jnp.asarray(salience)
+    cents = jnp.asarray(bin_cents_table())
+    center = jnp.argmax(salience, axis=-1)  # (T,)
+    # pad ±4 on the bin axis so the window never clips
+    sal_pad = jnp.pad(salience, [(0, 0)] * (salience.ndim - 1) + [(4, 4)])
+    cents_pad = jnp.pad(cents, (4, 4))
+    offs = jnp.arange(9)
+    win_idx = center[..., None] + offs[None, :]  # centered: center+4-4 .. center+4+4
+    win_sal = jnp.take_along_axis(sal_pad, win_idx, axis=-1)
+    win_cents = cents_pad[win_idx]
+    avg = jnp.sum(win_sal * win_cents, axis=-1) / jnp.maximum(
+        jnp.sum(win_sal, axis=-1), 1e-12
+    )
+    peak = jnp.max(salience, axis=-1)
+    return jnp.where(peak > threshold, avg, 0.0)
+
+
+def salience_to_f0(
+    salience,
+    threshold: float = 0.03,
+    f0_min: float | None = None,
+    f0_max: float | None = None,
+):
+    """Full RMVPE decode: salience -> Hz with zeroing of low-confidence and
+    (for the "rmvpe+" method) out-of-range frames (RMVPE.py:472-496)."""
+    cents = local_average_cents(salience, threshold)
+    f0 = cents_to_hz(cents)
+    f0 = jnp.where(cents == 0.0, 0.0, f0)
+    if f0_min is not None or f0_max is not None:
+        lo = 0.0 if f0_min is None else f0_min
+        hi = np.inf if f0_max is None else f0_max
+        f0 = jnp.where((f0 < lo) | (f0 > hi), 0.0, f0)
+    return f0

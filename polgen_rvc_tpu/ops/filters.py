@@ -1,0 +1,122 @@
+"""IIR filtering: Butterworth high-pass + zero-phase filtfilt.
+
+The reference applies a 5th-order 48 Hz Butterworth high-pass with
+scipy.signal.filtfilt before chunking (/root/reference/rvc/infer/
+pipeline.py:19-22, 329). Coefficient design happens on host (scipy);
+application is available both host-side (scipy, exact reference parity) and
+as a jittable second-order-sections cascade for in-graph use — direct-form
+transfer functions of this filter are numerically unstable in fp32, SOS is
+the stable formulation.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import signal as _sps
+
+
+@lru_cache(maxsize=8)
+def butter_highpass(order: int = 5, cutoff_hz: float = 48.0, fs: float = 16000.0):
+    """(b, a) for the reference's high-pass (pipeline.py:22)."""
+    b, a = _sps.butter(N=order, Wn=cutoff_hz, btype="high", fs=fs)
+    return b.astype(np.float64), a.astype(np.float64)
+
+
+@lru_cache(maxsize=8)
+def butter_highpass_sos(order: int = 5, cutoff_hz: float = 48.0, fs: float = 16000.0):
+    sos = _sps.butter(N=order, Wn=cutoff_hz, btype="high", fs=fs, output="sos")
+    return sos.astype(np.float64)
+
+
+def highpass_filtfilt(x: np.ndarray, fs: float = 16000.0) -> np.ndarray:
+    """Host-side zero-phase high-pass, bit-identical to the reference step."""
+    b, a = butter_highpass(fs=fs)
+    return _sps.filtfilt(b, a, x)
+
+
+# ---------------------------------------------------------------------------
+# jittable SOS cascade as lax.scan (for in-graph chains / streaming)
+# ---------------------------------------------------------------------------
+
+
+def sosfilt(x, sos, zi=None):
+    """Cascaded-biquad filtering along the last axis.
+
+    x: (..., T); sos: (n_sections, 6) scipy layout [b0 b1 b2 a0 a1 a2].
+    zi: (n_sections, ..., 2) initial conditions. Returns (y, zf).
+    """
+    sos = jnp.asarray(sos, x.dtype)
+    n_sections = sos.shape[0]
+    lead = x.shape[:-1]
+    if zi is None:
+        zi = jnp.zeros((n_sections,) + lead + (2,), x.dtype)
+
+    y = x
+    zf = []
+    for s in range(n_sections):
+        b0, b1, b2, _, a1, a2 = [sos[s, i] for i in range(6)]
+
+        def step(z, xt, b0=b0, b1=b1, b2=b2, a1=a1, a2=a2):
+            z0, z1 = z[..., 0], z[..., 1]
+            yt = b0 * xt + z0
+            z0n = b1 * xt + z1 - a1 * yt
+            z1n = b2 * xt - a2 * yt
+            return jnp.stack([z0n, z1n], axis=-1), yt
+
+        z_end, ys = jax.lax.scan(step, zi[s], jnp.moveaxis(y, -1, 0))
+        y = jnp.moveaxis(ys, 0, -1)
+        zf.append(z_end)
+    return y, jnp.stack(zf)
+
+
+@lru_cache(maxsize=8)
+def _sosfilt_zi(key):
+    sos = np.array(key).reshape(-1, 6)
+    return _sps.sosfilt_zi(sos)
+
+
+def sosfiltfilt_jax(x, sos, edge: int | None = None):
+    """Zero-phase SOS filtering with odd edge extension (filtfilt semantics).
+
+    Transfer-function-equal to scipy.signal.filtfilt on the same design;
+    parity asserted in tests at fp32 tolerance.
+    """
+    sos_np = np.asarray(sos, np.float64)
+    if edge is None:
+        # scipy's exact default padlen; the filter's poles sit near DC so the
+        # startup transient is long-lived and parity requires the same padlen
+        ntaps = 2 * sos_np.shape[0] + 1
+        ntaps -= min(
+            int((sos_np[:, 2] == 0).sum()), int((sos_np[:, 5] == 0).sum())
+        )
+        edge = 3 * ntaps
+    left = 2 * x[..., :1] - x[..., edge:0:-1]
+    right = 2 * x[..., -1:] - x[..., -2 : -2 - edge : -1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+
+    zi_unit = jnp.asarray(_sosfilt_zi(tuple(sos_np.reshape(-1))), x.dtype)
+    # zi shape (ns, 2) -> broadcast to leading dims of x
+    lead = x.shape[:-1]
+    zi_unit = zi_unit.reshape((zi_unit.shape[0],) + (1,) * len(lead) + (2,))
+
+    y, _ = sosfilt(ext, sos, zi=zi_unit * ext[..., :1][None])
+    y = jnp.flip(y, -1)
+    y, _ = sosfilt(y, sos, zi=zi_unit * y[..., :1][None])
+    y = jnp.flip(y, -1)
+    return y[..., edge:-edge]
+
+
+def filtfilt_jax(x, b=None, a=None, *, sos=None):
+    """Zero-phase high-pass; accepts (b, a) for API parity but filters via SOS."""
+    if sos is None:
+        # re-derive an SOS factorization of the given transfer function
+        if b is None or a is None:
+            sos = butter_highpass_sos()
+        else:
+            z, p, k = _sps.tf2zpk(np.asarray(b, np.float64), np.asarray(a, np.float64))
+            sos = _sps.zpk2sos(z, p, k)
+    return sosfiltfilt_jax(x, np.asarray(sos, np.float64))
