@@ -1,0 +1,109 @@
+"""fairseq hubert_base.pt -> (HubertConfig, param pytree).
+
+Replaces fairseq's checkpoint_utils.load_model_ensemble_and_task
+(reference infer.py:67-74) with a direct state-dict conversion — no fairseq
+at runtime. The .pt pickle embeds fairseq/omegaconf config objects; a
+tolerant unpickler substitutes stubs for any class we don't have, since only
+the tensor state dict matters.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+
+import numpy as np
+
+from ..models.hubert import HubertConfig
+from .common import fold_weight_norm, linear_params, norm_params, to_numpy
+
+
+class _Stub:
+    """Placeholder for unpicklable config classes inside the checkpoint."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _Stub
+
+
+def _tolerant_torch_load(path: str):
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False,
+                          pickle_module=_TolerantPickleModule)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=True)
+
+
+class _TolerantPickleModule:
+    Unpickler = _TolerantUnpickler
+    load = staticmethod(pickle.load)
+
+
+def convert_hubert_state(sd: dict, cfg: HubertConfig | None = None):
+    """fairseq HubertModel state_dict -> param pytree for models.hubert."""
+    cfg = cfg or HubertConfig()
+    convs = []
+    for i in range(len(cfg.conv_layers)):
+        entry = {"w": to_numpy(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).astype(np.float32)}
+        if i == 0:
+            entry["gn"] = {
+                "gamma": to_numpy(sd["feature_extractor.conv_layers.0.2.weight"]).astype(np.float32),
+                "beta": to_numpy(sd["feature_extractor.conv_layers.0.2.bias"]).astype(np.float32),
+            }
+        convs.append(entry)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"encoder.layers.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "q": linear_params(sd, f"{p}.self_attn.q_proj"),
+                    "k": linear_params(sd, f"{p}.self_attn.k_proj"),
+                    "v": linear_params(sd, f"{p}.self_attn.v_proj"),
+                    "o": linear_params(sd, f"{p}.self_attn.out_proj"),
+                },
+                "norm1": norm_params(sd, f"{p}.self_attn_layer_norm"),
+                "fc1": linear_params(sd, f"{p}.fc1"),
+                "fc2": linear_params(sd, f"{p}.fc2"),
+                "norm2": norm_params(sd, f"{p}.final_layer_norm"),
+            }
+        )
+
+    params = {
+        "feature_extractor": {"convs": convs},
+        "layer_norm": norm_params(sd, "layer_norm"),
+        "post_extract_proj": linear_params(sd, "post_extract_proj"),
+        "encoder": {
+            "pos_conv": {
+                # fairseq weight-norms the positional conv along dim=2
+                "w": fold_weight_norm(sd, "encoder.pos_conv.0", dim=2),
+                "b": to_numpy(sd["encoder.pos_conv.0.bias"]).astype(np.float32),
+            },
+            "layer_norm": norm_params(sd, "encoder.layer_norm"),
+            "layers": layers,
+        },
+    }
+    if "final_proj.weight" in sd:
+        params["final_proj"] = linear_params(sd, "final_proj")
+    return params
+
+
+def load_hubert_checkpoint(path: str):
+    """hubert_base.pt -> (HubertConfig, params)."""
+    ckpt = _tolerant_torch_load(path)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    cfg = HubertConfig()
+    return cfg, convert_hubert_state(sd, cfg)
