@@ -42,26 +42,32 @@ def _rand(rng, *shape, scale=0.1):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
+def _fan_scale(*fan_dims):
+    """Kaiming-ish init so deep synthetic stacks stay numerically sane."""
+    fan_in = int(np.prod(fan_dims))
+    return 1.0 / max(np.sqrt(fan_in), 1.0)
+
+
 def _conv_wn(sd, rng, prefix, out_c, in_c, k, bias=True):
     """Emit weight_g/weight_v keys like torch weight_norm(dim=0) saves."""
-    v = _rand(rng, out_c, in_c, k)
-    g = np.abs(_rand(rng, out_c, 1, 1, scale=1.0)) + 0.5
-    sd[f"{prefix}.weight_g"] = g
+    v = _rand(rng, out_c, in_c, k, scale=_fan_scale(in_c, k))
+    g = np.abs(_rand(rng, out_c, 1, 1, scale=0.2)) + 0.8
+    sd[f"{prefix}.weight_g"] = (g * np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))).astype(np.float32)
     sd[f"{prefix}.weight_v"] = v
     if bias:
-        sd[f"{prefix}.bias"] = _rand(rng, out_c)
+        sd[f"{prefix}.bias"] = _rand(rng, out_c, scale=0.02)
 
 
 def _conv(sd, rng, prefix, out_c, in_c, k, bias=True):
-    sd[f"{prefix}.weight"] = _rand(rng, out_c, in_c, k)
+    sd[f"{prefix}.weight"] = _rand(rng, out_c, in_c, k, scale=_fan_scale(in_c, k))
     if bias:
-        sd[f"{prefix}.bias"] = _rand(rng, out_c)
+        sd[f"{prefix}.bias"] = _rand(rng, out_c, scale=0.02)
 
 
 def _linear(sd, rng, prefix, out_c, in_c, bias=True):
-    sd[f"{prefix}.weight"] = _rand(rng, out_c, in_c)
+    sd[f"{prefix}.weight"] = _rand(rng, out_c, in_c, scale=_fan_scale(in_c))
     if bias:
-        sd[f"{prefix}.bias"] = _rand(rng, out_c)
+        sd[f"{prefix}.bias"] = _rand(rng, out_c, scale=0.02)
 
 
 def _norm(sd, rng, prefix, c, torch_names=False):
@@ -85,7 +91,7 @@ def make_rvc_checkpoint(
     # ---- enc_p ----
     _linear(sd, rng, "enc_p.emb_phone", H, cfg.input_dim)
     if use_f0:
-        sd["enc_p.emb_pitch.weight"] = _rand(rng, 256, H)
+        sd["enc_p.emb_pitch.weight"] = _rand(rng, 256, H, scale=_fan_scale(H))
     for i in range(cfg.n_layers):
         a = f"enc_p.encoder.attn_layers.{i}"
         for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
@@ -117,17 +123,19 @@ def make_rvc_checkpoint(
     _conv(sd, rng, "dec.cond", up0, cfg.gin_channels, 1)
     if use_f0:
         sd["dec.m_source.l_linear.weight"] = _rand(rng, 1, 1, scale=1.0)
-        sd["dec.m_source.l_linear.bias"] = _rand(rng, 1)
+        sd["dec.m_source.l_linear.bias"] = _rand(rng, 1, scale=0.02)
     channels = [up0 // (2 ** (i + 1)) for i in range(len(cfg.upsample_rates))]
     n_kernels = len(cfg.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         in_c = up0 // (2**i)
         # ConvTranspose1d weight layout: (in, out, k)
-        v = _rand(rng, in_c, channels[i], k)
-        g = np.abs(_rand(rng, in_c, 1, 1, scale=1.0)) + 0.5
+        v = _rand(rng, in_c, channels[i], k, scale=_fan_scale(in_c, k))
+        g = (np.abs(_rand(rng, in_c, 1, 1, scale=0.2)) + 0.8) * np.sqrt(
+            (v**2).sum(axis=(1, 2), keepdims=True)
+        )
         sd[f"dec.ups.{i}.weight_g"] = g
         sd[f"dec.ups.{i}.weight_v"] = v
-        sd[f"dec.ups.{i}.bias"] = _rand(rng, channels[i])
+        sd[f"dec.ups.{i}.bias"] = _rand(rng, channels[i], scale=0.02)
         if use_f0:
             stride_f0 = int(math.prod(cfg.upsample_rates[i + 1 :]))
             nk = stride_f0 * 2 if stride_f0 > 1 else 1
@@ -160,7 +168,8 @@ def make_hubert_state(*, tiny: bool = True, seed: int = 0, with_final_proj: bool
     sd = {}
     in_c = 1
     for i, (dim, k, s) in enumerate(cfg.conv_layers):
-        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = _rand(rng, dim, in_c, k)
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = _rand(
+            rng, dim, in_c, k, scale=_fan_scale(in_c, k))
         if i == 0:
             _norm(sd, rng, "feature_extractor.conv_layers.0.2", dim, torch_names=True)
         in_c = dim
@@ -168,11 +177,14 @@ def make_hubert_state(*, tiny: bool = True, seed: int = 0, with_final_proj: bool
     _linear(sd, rng, "post_extract_proj", d, in_c)
     _norm(sd, rng, "layer_norm", in_c, torch_names=True)
     # pos conv with weight norm over dim=2
-    v = _rand(rng, d, d // cfg.pos_conv_groups, cfg.pos_conv_kernel)
-    g = np.abs(_rand(rng, 1, 1, cfg.pos_conv_kernel, scale=1.0)) + 0.5
+    v = _rand(rng, d, d // cfg.pos_conv_groups, cfg.pos_conv_kernel,
+              scale=_fan_scale(d // cfg.pos_conv_groups, cfg.pos_conv_kernel))
+    g = (np.abs(_rand(rng, 1, 1, cfg.pos_conv_kernel, scale=0.2)) + 0.8) * np.sqrt(
+        (v**2).sum(axis=(0, 1), keepdims=True)
+    )
     sd["encoder.pos_conv.0.weight_g"] = g
     sd["encoder.pos_conv.0.weight_v"] = v
-    sd["encoder.pos_conv.0.bias"] = _rand(rng, d)
+    sd["encoder.pos_conv.0.bias"] = _rand(rng, d, scale=0.02)
     _norm(sd, rng, "encoder.layer_norm", d, torch_names=True)
     for i in range(cfg.n_layers):
         p = f"encoder.layers.{i}"
@@ -200,13 +212,13 @@ def make_rmvpe_state(*, seed: int = 0, n_blocks: int = 4):
         sd[f"{prefix}.num_batches_tracked"] = np.array(0, np.int64)
 
     def conv_block(prefix, in_c, out_c):
-        sd[f"{prefix}.conv.0.weight"] = _rand(rng, out_c, in_c, 3, 3)
+        sd[f"{prefix}.conv.0.weight"] = _rand(rng, out_c, in_c, 3, 3, scale=_fan_scale(in_c, 3, 3))
         bn(f"{prefix}.conv.1", out_c)
-        sd[f"{prefix}.conv.3.weight"] = _rand(rng, out_c, out_c, 3, 3)
+        sd[f"{prefix}.conv.3.weight"] = _rand(rng, out_c, out_c, 3, 3, scale=_fan_scale(out_c, 3, 3))
         bn(f"{prefix}.conv.4", out_c)
         if in_c != out_c:
-            sd[f"{prefix}.shortcut.weight"] = _rand(rng, out_c, in_c, 1, 1)
-            sd[f"{prefix}.shortcut.bias"] = _rand(rng, out_c)
+            sd[f"{prefix}.shortcut.weight"] = _rand(rng, out_c, in_c, 1, 1, scale=_fan_scale(in_c))
+            sd[f"{prefix}.shortcut.bias"] = _rand(rng, out_c, scale=0.02)
 
     bn("unet.encoder.bn", 1)
     in_c, out_c = 1, 16
@@ -226,18 +238,18 @@ def make_rmvpe_state(*, seed: int = 0, n_blocks: int = 4):
     c = inter_out
     for i in range(5):
         oc = c // 2
-        sd[f"unet.decoder.layers.{i}.conv1.0.weight"] = _rand(rng, c, oc, 3, 3)
+        sd[f"unet.decoder.layers.{i}.conv1.0.weight"] = _rand(rng, c, oc, 3, 3, scale=_fan_scale(c, 3, 3))
         bn(f"unet.decoder.layers.{i}.conv1.1", oc)
         for j in range(n_blocks):
             conv_block(f"unet.decoder.layers.{i}.conv2.{j}", oc * 2 if j == 0 else oc, oc)
         c = oc
 
-    sd["cnn.weight"] = _rand(rng, 3, 16, 3, 3)
-    sd["cnn.bias"] = _rand(rng, 3)
+    sd["cnn.weight"] = _rand(rng, 3, 16, 3, 3, scale=_fan_scale(16, 3, 3))
+    sd["cnn.bias"] = _rand(rng, 3, scale=0.02)
     for suffix in ("", "_reverse"):
-        sd[f"fc.0.gru.weight_ih_l0{suffix}"] = _rand(rng, 3 * 256, 384)
-        sd[f"fc.0.gru.weight_hh_l0{suffix}"] = _rand(rng, 3 * 256, 256)
-        sd[f"fc.0.gru.bias_ih_l0{suffix}"] = _rand(rng, 3 * 256)
-        sd[f"fc.0.gru.bias_hh_l0{suffix}"] = _rand(rng, 3 * 256)
+        sd[f"fc.0.gru.weight_ih_l0{suffix}"] = _rand(rng, 3 * 256, 384, scale=_fan_scale(384))
+        sd[f"fc.0.gru.weight_hh_l0{suffix}"] = _rand(rng, 3 * 256, 256, scale=_fan_scale(256))
+        sd[f"fc.0.gru.bias_ih_l0{suffix}"] = _rand(rng, 3 * 256, scale=0.02)
+        sd[f"fc.0.gru.bias_hh_l0{suffix}"] = _rand(rng, 3 * 256, scale=0.02)
     _linear(sd, rng, "fc.1", 360, 512)
     return sd

@@ -1,0 +1,346 @@
+"""The conversion engine: jitted chunk graphs + host orchestration.
+
+Replaces the reference's VC.pipeline/VC.vc (pipeline.py:203-467) with a
+TPU-native design:
+  - weights convert once and stay on device; compiled graphs are cached per
+    static bucket shape (the reference reloads every model per request —
+    voice_conversion.py:71-100)
+  - each chunk batch runs ONE jitted graph: HuBERT -> retrieval (on-device
+    top-k; the reference round-trips to faiss on CPU per chunk) -> 2x frame
+    upsample -> protect mix -> synthesizer -> waveform
+  - F0 runs once over the full padded signal (reference semantics) through
+    bucketed RMVPE graphs
+  - long audio is cut at quiet points and padded to shared buckets: zero
+    recompiles within a song, and chunk batches shard over a device mesh
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.hubert import HubertConfig, hubert_extract
+from ..models.rmvpe import pad_frames_to_32, rmvpe_mel, rmvpe_salience
+from ..models.synthesizer import SynthesizerConfig, synthesizer_infer
+from ..ops.f0_utils import salience_to_f0
+from ..ops.filters import highpass_filtfilt
+from ..retrieval.topk import retrieval_blend
+from ..utils.progress import NULL_PROGRESS, ProgressReporter
+from .chunking import gather_chunk_batch, plan_chunks
+from .config import ConversionOptions, EngineConfig
+
+_F0_FRAME_BUCKET = 1024  # RMVPE salience compiles per multiple of this
+
+
+def _np_interp_linear(x: np.ndarray, size: int) -> np.ndarray:
+    """numpy mirror of F.interpolate(mode='linear', align_corners=False)."""
+    n = x.shape[-1]
+    if n == 1:
+        return np.repeat(x, size, axis=-1)
+    pos = (np.arange(size) + 0.5) * (n / size) - 0.5
+    pos = np.clip(pos, 0.0, n - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+    hi = np.clip(lo + 1, 0, n - 1)
+    frac = pos - lo
+    return x[..., lo] * (1 - frac) + x[..., hi] * frac
+
+
+def _librosa_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
+    ypad = np.pad(y, frame_length // 2)
+    n = 1 + len(y) // hop_length
+    idx = np.arange(n)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    return np.sqrt(np.mean(ypad[idx] ** 2, axis=-1))
+
+
+def change_rms_np(source, src_sr, target, tgt_sr, rate):
+    """Reference AudioProcessor.change_rms (pipeline.py:29-61) on host."""
+    rms1 = _librosa_rms(source, src_sr // 2 * 2, src_sr // 2)
+    rms2 = _librosa_rms(target, tgt_sr // 2 * 2, tgt_sr // 2)
+    rms1 = _np_interp_linear(rms1, len(target))
+    rms2 = np.maximum(_np_interp_linear(rms2, len(target)), 1e-6)
+    return target * (rms1 ** (1 - rate)) * (rms2 ** (rate - 1))
+
+
+def coarse_f0_np(f0, f0_min=50.0, f0_max=1100.0):
+    """Host mirror of ops.f0_utils.coarse_f0 (pipeline.py:193-201)."""
+    mel_min = 1127 * np.log(1 + f0_min / 700)
+    mel_max = 1127 * np.log(1 + f0_max / 700)
+    mel = 1127 * np.log(1 + f0 / 700)
+    mel[mel > 0] = (mel[mel > 0] - mel_min) * 254 / (mel_max - mel_min) + 1
+    mel = np.clip(mel, 1, 255)
+    return np.rint(mel).astype(np.int32)
+
+
+class VoiceConverter:
+    """Cached, jitted voice conversion over one (synthesizer, hubert, rmvpe,
+    index) model set."""
+
+    def __init__(
+        self,
+        *,
+        synth_cfg: SynthesizerConfig,
+        synth_params: dict,
+        hubert_cfg: HubertConfig,
+        hubert_params: dict,
+        rmvpe_params: Optional[dict] = None,
+        index_bank: Optional[np.ndarray] = None,
+        engine: EngineConfig = EngineConfig(),
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.synth_cfg = synth_cfg
+        self.hubert_cfg = hubert_cfg
+        self.engine = engine
+        self.mesh = mesh
+        self.tgt_sr = synth_cfg.sr
+        self.version = "v2" if synth_cfg.input_dim == 768 else "v1"
+        self.compute_dtype = jnp.dtype(engine.compute_dtype)
+
+        self.synth_params = jax.tree.map(jnp.asarray, synth_params)
+        self.hubert_params = jax.tree.map(jnp.asarray, hubert_params)
+        self.rmvpe_params = (
+            jax.tree.map(jnp.asarray, rmvpe_params) if rmvpe_params else None
+        )
+        self.index_bank = jnp.asarray(index_bank) if index_bank is not None else None
+        self._chunk_fns = {}
+        self._f0_fns = {}
+
+    # ------------------------------------------------------------------
+    # F0 (full-signal, reference get_f0 semantics)
+    # ------------------------------------------------------------------
+
+    def _f0_fn(self, n_frames_bucket: int):
+        if n_frames_bucket not in self._f0_fns:
+            @jax.jit
+            def fn(mel, threshold):
+                sal = rmvpe_salience(self.rmvpe_params, mel)
+                return salience_to_f0(sal.astype(jnp.float32), threshold)
+
+            self._f0_fns[n_frames_bucket] = fn
+        return self._f0_fns[n_frames_bucket]
+
+    def compute_f0(self, audio_pad: np.ndarray, p_len: int,
+                   opts: ConversionOptions) -> tuple[np.ndarray, np.ndarray]:
+        """(coarse pitch int32 (p_len,), pitchf float32 (p_len,))."""
+        if opts.f0_method in ("rmvpe+", "rmvpe"):
+            f0 = self._rmvpe_f0(audio_pad, opts)
+        elif opts.f0_method == "mangio-crepe":
+            from .crepe_method import crepe_f0
+
+            f0 = crepe_f0(self, audio_pad, p_len, opts)
+        elif opts.f0_method == "fcpe":
+            from .fcpe_method import fcpe_f0
+
+            f0 = fcpe_f0(self, audio_pad, p_len, opts)
+        else:
+            raise ValueError(f"unknown f0 method: {opts.f0_method}")
+        f0 = np.asarray(f0, np.float32)[:p_len]
+        if f0.shape[0] < p_len:
+            f0 = np.pad(f0, (0, p_len - f0.shape[0]))
+
+        f0 = f0 * (2.0 ** (opts.pitch / 12.0))
+        if opts.f0_file:
+            f0 = self._apply_f0_file(f0, opts.f0_file)
+        pitchf = f0.astype(np.float32)
+        pitch = coarse_f0_np(f0.copy(), opts.f0_min, opts.f0_max)
+        return pitch, pitchf
+
+    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
+        if self.rmvpe_params is None:
+            raise RuntimeError("rmvpe weights not loaded")
+        mel = rmvpe_mel(jnp.asarray(audio, jnp.float32)[None])
+        n = mel.shape[-1]
+        bucket = int(np.ceil(n / _F0_FRAME_BUCKET)) * _F0_FRAME_BUCKET
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, bucket - n)))
+        f0 = self._f0_fn(bucket)(mel, 0.03)
+        f0 = np.array(f0[0, :n])  # copy: jax buffers are read-only
+        # "rmvpe+": zero outside [f0_min, f0_max] (RMVPE.py:487-496)
+        f0[(f0 < opts.f0_min) | (f0 > opts.f0_max)] = 0.0
+        return f0
+
+    def _apply_f0_file(self, f0: np.ndarray, path: str) -> np.ndarray:
+        """Reference f0-file override (pipeline.py:185-191, 351-360)."""
+        try:
+            with open(path) as f:
+                lines = f.read().strip("\n").split("\n")
+            inp = np.array(
+                [[float(v) for v in line.split(",")] for line in lines],
+                dtype=np.float32,
+            )
+        except Exception as e:
+            print(f"failed to read f0 file: {e}")
+            return f0
+        tf0 = self.engine.sample_rate // self.engine.window
+        delta_t = np.round((inp[:, 0].max() - inp[:, 0].min()) * tf0 + 1).astype("int16")
+        replace = np.interp(list(range(delta_t)), inp[:, 0] * 100, inp[:, 1])
+        start = self.engine.x_pad * tf0
+        shape = f0[start : start + len(replace)].shape[0]
+        f0[start : start + len(replace)] = replace[:shape]
+        return f0
+
+    # ------------------------------------------------------------------
+    # per-chunk jitted graph
+    # ------------------------------------------------------------------
+
+    def _chunk_fn(self, bucket_len: int, batch: int, *, use_index: bool,
+                  use_protect: bool, use_f0: bool):
+        key = (bucket_len, batch, use_index, use_protect, use_f0)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+
+        hub_frames = self.hubert_cfg.num_frames(bucket_len)
+        p_len = min(bucket_len // self.engine.window, 2 * hub_frames)
+        v1 = self.version == "v1"
+        noise_scale = self.engine.noise_scale
+        cdt = self.compute_dtype
+
+        def step(wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
+            out_layer = (
+                9 if (v1 and self.hubert_cfg.n_layers >= 9)
+                else self.hubert_cfg.n_layers
+            )
+            feats = hubert_extract(
+                self.hubert_params, self.hubert_cfg, wav,
+                output_layer=out_layer, final_proj=v1, compute_dtype=cdt,
+            )
+            feats0 = feats if use_protect else None
+            if use_index:
+                feats = retrieval_blend(
+                    feats, self.index_bank, index_rate, k=self.engine.retrieval_k
+                )
+            feats = jnp.repeat(feats, 2, axis=1)[:, :p_len]
+            if use_protect:
+                feats0 = jnp.repeat(feats0, 2, axis=1)[:, :p_len]
+                pff = jnp.where(pitchf > 0, 1.0, protect).astype(feats.dtype)[..., None]
+                feats = feats * pff + feats0 * (1.0 - pff)
+            x_mask = frame_mask[:, None, :].astype(cdt)
+            audio = synthesizer_infer(
+                self.synth_params, self.synth_cfg,
+                feats, x_mask,
+                pitch if use_f0 else None,
+                pitchf if use_f0 else None,
+                sid=sid, rng=key, noise_scale=noise_scale,
+                compute_dtype=cdt,
+            )
+            return audio.astype(jnp.float32)
+
+        fn = jax.jit(step)
+        self._chunk_fns[key] = (fn, p_len)
+        return self._chunk_fns[key]
+
+    # ------------------------------------------------------------------
+    # full pipeline
+    # ------------------------------------------------------------------
+
+    def convert(
+        self,
+        audio16k: np.ndarray,
+        opts: ConversionOptions = ConversionOptions(),
+        progress: ProgressReporter = NULL_PROGRESS,
+    ) -> tuple[np.ndarray, int]:
+        """Full file-level conversion: float mono 16 kHz -> (int16, out_sr).
+
+        Mirrors VC.pipeline (pipeline.py:289-467): high-pass, quiet-point
+        chunking, one full-signal F0 pass, per-chunk conversion with pad
+        trimming, RMS envelope mix, optional resample, int16 normalize.
+        """
+        eng = self.engine
+        use_f0 = self.synth_cfg.use_f0
+        progress(0.05, "high-pass filtering")
+        audio = highpass_filtfilt(np.asarray(audio16k, np.float64)).astype(np.float32)
+
+        plan = plan_chunks(audio, eng)
+        p_len_full = plan.padded_audio.shape[0] // eng.window
+
+        pitch_full = pitchf_full = None
+        if use_f0:
+            progress(0.15, f"extracting F0 ({opts.f0_method})")
+            pitch_full, pitchf_full = self.compute_f0(
+                plan.padded_audio, p_len_full, opts
+            )
+
+        use_index = self.index_bank is not None and opts.index_rate > 0
+        use_protect = use_f0 and opts.protect < 0.5
+        fn, p_len = self._chunk_fn(
+            plan.bucket_len, eng.chunk_batch,
+            use_index=use_index, use_protect=use_protect, use_f0=use_f0,
+        )
+
+        upp = self.synth_cfg.upp
+        t_pad_tgt = self.tgt_sr * eng.x_pad
+        window = eng.window
+        rng = jax.random.PRNGKey(opts.seed)
+
+        outputs = []
+        n_chunks = len(plan.chunks)
+        for g0 in range(0, n_chunks, eng.chunk_batch):
+            idxs = list(range(g0, min(g0 + eng.chunk_batch, n_chunks)))
+            pad_rows = eng.chunk_batch - len(idxs)
+            wav, lengths = gather_chunk_batch(plan, idxs, eng)
+            if pad_rows:
+                wav = np.concatenate(
+                    [wav, np.zeros((pad_rows, wav.shape[1]), np.float32)]
+                )
+
+            pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
+            pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
+            mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
+            valid_frames = []
+            for row, ci in enumerate(idxs):
+                c = plan.chunks[ci]
+                slice_len = c.slice_end - c.slice_start
+                v = min(slice_len // window,
+                        2 * self.hubert_cfg.num_frames(slice_len), p_len)
+                valid_frames.append(v)
+                mask_b[row, :v] = 1.0
+                if use_f0:
+                    f0_lo = c.slice_start // window
+                    seg_p = pitch_full[f0_lo : f0_lo + v]
+                    seg_f = pitchf_full[f0_lo : f0_lo + v]
+                    pitch_b[row, : len(seg_p)] = seg_p
+                    pitchf_b[row, : len(seg_f)] = seg_f
+
+            rng, sub = jax.random.split(rng)
+            progress(0.3 + 0.6 * g0 / max(n_chunks, 1),
+                     f"converting chunks {g0 + 1}-{idxs[-1] + 1}/{n_chunks}")
+            out = fn(
+                jnp.asarray(wav), jnp.asarray(pitch_b), jnp.asarray(pitchf_b),
+                jnp.asarray(mask_b),
+                jnp.float32(opts.index_rate), jnp.float32(opts.protect),
+                jnp.full((eng.chunk_batch,), opts.speaker_id, jnp.int32),
+                sub,
+            )
+            out = np.asarray(out)
+            for row, v in enumerate(valid_frames):
+                seg = out[row, t_pad_tgt : v * upp - t_pad_tgt]
+                outputs.append(seg)
+
+        audio_opt = np.concatenate(outputs)
+
+        if opts.volume_envelope != 1.0:
+            progress(0.92, "mixing RMS envelope")
+            audio_opt = change_rms_np(
+                audio, eng.sample_rate, audio_opt, self.tgt_sr,
+                opts.volume_envelope,
+            )
+        out_sr = self.tgt_sr
+        if opts.resample_sr >= eng.sample_rate and opts.resample_sr != self.tgt_sr:
+            from scipy.signal import resample_poly
+            import math as _math
+
+            g = _math.gcd(self.tgt_sr, opts.resample_sr)
+            audio_opt = resample_poly(
+                audio_opt, opts.resample_sr // g, self.tgt_sr // g
+            )
+            out_sr = opts.resample_sr
+
+        audio_max = np.abs(audio_opt).max() / 0.99
+        max_int16 = 32768.0
+        if audio_max > 1:
+            max_int16 /= audio_max
+        audio_int16 = (audio_opt * max_int16).astype(np.int16)
+        progress(1.0, "done")
+        return audio_int16, out_sr

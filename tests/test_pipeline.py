@@ -1,0 +1,137 @@
+"""End-to-end engine tests on synthetic models (tiny shapes, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from polgen_rvc_tpu.convert.rmvpe_ckpt import convert_rmvpe_state
+from polgen_rvc_tpu.convert.rvc_ckpt import build_config, convert_synthesizer_state
+from polgen_rvc_tpu.convert.hubert_ckpt import convert_hubert_state
+from polgen_rvc_tpu.convert.synthetic import (
+    make_hubert_state,
+    make_rmvpe_state,
+    make_rvc_checkpoint,
+)
+from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig, VoiceConverter
+from polgen_rvc_tpu.pipeline.chunking import find_cut_points, plan_chunks
+from polgen_rvc_tpu.retrieval import retrieval_blend
+
+
+@pytest.fixture(scope="module")
+def converter():
+    cpt = make_rvc_checkpoint(sr=48000, tiny=True, seed=0)
+    synth_cfg = build_config(cpt["config"], use_f0=True, version="v2")
+    synth_params = convert_synthesizer_state(cpt["weight"], synth_cfg)
+    hub_cfg, hub_sd = make_hubert_state(tiny=True, seed=1)
+    # tiny hubert embed_dim=64 != synthesizer input_dim 768; patch emb_phone
+    rng = np.random.default_rng(2)
+    synth_params["enc_p"]["emb_phone"]["w"] = (
+        rng.standard_normal((hub_cfg.embed_dim, synth_cfg.hidden_channels)) * 0.1
+    ).astype(np.float32)
+    rmvpe = convert_rmvpe_state(make_rmvpe_state(seed=3))
+    bank = (rng.standard_normal((50, hub_cfg.embed_dim)) * 0.5).astype(np.float32)
+    eng = EngineConfig(
+        x_pad=1, x_query=2, x_center=6, x_max=8, chunk_batch=2, bucket_step_s=2
+    )
+    return VoiceConverter(
+        synth_cfg=synth_cfg,
+        synth_params=synth_params,
+        hubert_cfg=hub_cfg,
+        hubert_params=convert_hubert_state(hub_sd, hub_cfg),
+        rmvpe_params=rmvpe,
+        index_bank=bank,
+        engine=eng,
+    )
+
+
+def _song(seconds, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    x = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.standard_normal(t.size)
+    return x.astype(np.float32)
+
+
+def test_chunk_planner_matches_reference_semantics():
+    eng = EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8)
+    audio = _song(20.0)
+    cuts = find_cut_points(audio, eng)
+    assert len(cuts) == 3  # centers at 6, 12, 18 s
+    for k, c in enumerate(cuts, start=1):
+        assert abs(c - k * eng.t_center) <= eng.t_query
+        assert c % eng.window == 0
+    plan = plan_chunks(audio, eng)
+    assert len(plan.chunks) == 4
+    assert plan.chunks[0].start == 0 and plan.chunks[-1].end == len(audio)
+    # contiguous coverage
+    for a, b in zip(plan.chunks, plan.chunks[1:]):
+        assert a.end == b.start
+    assert plan.bucket_len % (eng.bucket_step_s * eng.sample_rate) == 0
+    assert plan.bucket_len >= max(
+        c.slice_end - c.slice_start for c in plan.chunks
+    )
+
+
+def test_short_audio_single_chunk():
+    eng = EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8)
+    audio = _song(5.0)
+    plan = plan_chunks(audio, eng)
+    assert len(plan.chunks) == 1
+
+
+def test_engine_short_convert(converter):
+    audio = _song(3.0)
+    out, sr = converter.convert(audio, ConversionOptions(output_format="wav"))
+    assert sr == 48000
+    assert out.dtype == np.int16
+    # ~3 s at 48k, minus nothing (trim cancels pad)
+    assert abs(len(out) - 3 * 48000) < 48000 // 4
+    assert np.abs(out).max() > 0
+
+
+def test_engine_long_convert_uses_chunks_no_recompile(converter):
+    audio = _song(20.0, seed=5)
+    n_compiled_before = len(converter._chunk_fns)
+    out, sr = converter.convert(audio, ConversionOptions())
+    assert abs(len(out) - 20 * 48000) < 48000
+    # exactly one chunk graph compiled for the whole song
+    assert len(converter._chunk_fns) - n_compiled_before <= 1
+
+
+def test_engine_options_affect_output(converter):
+    audio = _song(2.0, seed=7)
+    base, _ = converter.convert(audio, ConversionOptions(seed=1))
+    pitched, _ = converter.convert(audio, ConversionOptions(pitch=12, seed=1))
+    assert np.abs(base[: len(pitched)].astype(np.int32)
+                  - pitched[: len(base)].astype(np.int32)).max() > 0
+    indexed, _ = converter.convert(
+        audio, ConversionOptions(index_rate=0.9, seed=1)
+    )
+    assert np.abs(base[: len(indexed)].astype(np.int32)
+                  - indexed[: len(base)].astype(np.int32)).max() > 0
+
+
+def test_retrieval_blend_reference_math(rng):
+    """Blend equals the reference numpy formulation (pipeline.py:239-250)."""
+    feats = rng.standard_normal((1, 10, 8)).astype(np.float32)
+    bank = rng.standard_normal((30, 8)).astype(np.float32)
+    rate = 0.7
+    got = np.asarray(retrieval_blend(jnp.asarray(feats), jnp.asarray(bank), rate))
+
+    d2 = ((feats[0][:, None] - bank[None]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :8]
+    score = np.take_along_axis(d2, idx, 1)
+    weight = np.square(1 / np.maximum(score, 1e-12))
+    weight /= weight.sum(axis=1, keepdims=True)
+    ref = np.sum(bank[idx] * weight[..., None], axis=1)
+    ref = rate * ref + (1 - rate) * feats[0]
+    np.testing.assert_allclose(got[0], ref, rtol=1e-3, atol=1e-4)
+
+
+def test_rms_change_identity():
+    from polgen_rvc_tpu.pipeline.engine import change_rms_np
+
+    src = _song(1.0)
+    tgt = _song(1.0, seed=9)
+    out = change_rms_np(src, 16000, tgt.copy(), 16000, 1.0)
+    np.testing.assert_allclose(out, tgt, rtol=1e-6)  # rate=1 keeps target
