@@ -27,3 +27,27 @@ Layer map (mirrors reference capabilities; see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persist compiled XLA programs across processes.
+
+    The conversion graphs are large; remote/TPU compiles run minutes while
+    warm execution is milliseconds, so a persistent cache is essential for
+    serving-style restarts. Called automatically on first engine use.
+    """
+    import jax
+
+    cache_dir = path or _os.environ.get(
+        "POLGEN_XLA_CACHE", _os.path.expanduser("~/.cache/polgen_xla")
+    )
+    _os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
+

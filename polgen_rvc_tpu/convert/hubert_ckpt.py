@@ -51,9 +51,51 @@ class _TolerantPickleModule:
     load = staticmethod(pickle.load)
 
 
+_STANDARD_STRIDES = (5, 2, 2, 2, 2, 2, 2)
+
+
+def infer_hubert_config(sd: dict) -> HubertConfig:
+    """Derive the architecture from state-dict shapes.
+
+    Strides are not serialized; the standard wav2vec2/HuBERT stride schedule
+    (5,2,2,2,2,2,2 -> total 320) is assumed, which holds for every public
+    HuBERT/contentvec embedder the reference installs
+    (tabs/install/install_huberts.py:12-19)."""
+    n_conv = 0
+    while f"feature_extractor.conv_layers.{n_conv}.0.weight" in sd:
+        n_conv += 1
+    convs = []
+    for i in range(n_conv):
+        w = sd[f"feature_extractor.conv_layers.{i}.0.weight"]
+        dim, _, k = w.shape
+        stride = _STANDARD_STRIDES[i] if i < len(_STANDARD_STRIDES) else 2
+        convs.append((int(dim), int(k), int(stride)))
+    n_layers = 0
+    while f"encoder.layers.{n_layers}.self_attn.q_proj.weight" in sd:
+        n_layers += 1
+    embed_dim = int(sd["post_extract_proj.weight"].shape[0])
+    n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if embed_dim % h == 0)
+    if "encoder.pos_conv.0.weight_v" in sd:
+        pv = sd["encoder.pos_conv.0.weight_v"]
+    else:
+        pv = sd["encoder.pos_conv.0.parametrizations.weight.original1"]
+    pos_kernel = int(pv.shape[-1])
+    pos_groups = embed_dim // int(pv.shape[1])
+    final_dim = (
+        int(sd["final_proj.weight"].shape[0]) if "final_proj.weight" in sd else 256
+    )
+    ffn_dim = int(sd["encoder.layers.0.fc1.weight"].shape[0])
+    return HubertConfig(
+        conv_layers=tuple(convs), embed_dim=embed_dim, ffn_dim=ffn_dim,
+        n_heads=n_heads, n_layers=n_layers,
+        pos_conv_kernel=pos_kernel, pos_conv_groups=pos_groups,
+        final_dim=final_dim,
+    )
+
+
 def convert_hubert_state(sd: dict, cfg: HubertConfig | None = None):
     """fairseq HubertModel state_dict -> param pytree for models.hubert."""
-    cfg = cfg or HubertConfig()
+    cfg = cfg or infer_hubert_config(sd)
     convs = []
     for i in range(len(cfg.conv_layers)):
         entry = {"w": to_numpy(sd[f"feature_extractor.conv_layers.{i}.0.weight"]).astype(np.float32)}
@@ -102,8 +144,9 @@ def convert_hubert_state(sd: dict, cfg: HubertConfig | None = None):
 
 
 def load_hubert_checkpoint(path: str):
-    """hubert_base.pt -> (HubertConfig, params)."""
+    """hubert_base.pt -> (HubertConfig, params). Architecture inferred from
+    the state dict so alternate embedders (contentvec etc.) load too."""
     ckpt = _tolerant_torch_load(path)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
-    cfg = HubertConfig()
+    cfg = infer_hubert_config(sd)
     return cfg, convert_hubert_state(sd, cfg)

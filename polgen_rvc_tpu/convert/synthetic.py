@@ -154,14 +154,16 @@ def make_rvc_checkpoint(
     return {"config": config, "weight": sd, "f0": int(use_f0), "version": version}
 
 
-def make_hubert_state(*, tiny: bool = True, seed: int = 0, with_final_proj: bool = True):
+def make_hubert_state(*, tiny: bool = True, seed: int = 0,
+                      with_final_proj: bool = True, embed_dim: int = 64):
     """Fabricate a fairseq HubertModel state_dict (+ its HubertConfig)."""
     rng = np.random.default_rng(seed)
     if tiny:
+        d = embed_dim
         cfg = HubertConfig(
             conv_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
-            embed_dim=64, ffn_dim=128, n_heads=4, n_layers=3,
-            pos_conv_kernel=16, pos_conv_groups=4, final_dim=32,
+            embed_dim=d, ffn_dim=2 * d, n_heads=4, n_layers=3,
+            pos_conv_kernel=16, pos_conv_groups=4, final_dim=max(d // 2, 4),
         )
     else:
         cfg = HubertConfig()

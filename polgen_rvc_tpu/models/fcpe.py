@@ -1,0 +1,205 @@
+"""FCPE F0 predictor (conformer + Performer linear attention) in pure JAX.
+
+Capability parity with the reference FCPE stack (/root/reference/rvc/lib/
+predictors/FCPE.py): input conv stack with GroupNorm, 12 PCmer layers
+(Performer FastAttention with the checkpoint's stored orthogonal projection
+buffer + depthwise-GLU conformer conv module), LayerNorm, weight-normed
+dense to 360 cent bins, sigmoid, local-argmax cents decode, and the
+predictor's nearest-resize + nonzero-interp post-processing.
+
+Unlike the reference, the model is built once and cached (the reference
+constructs and destroys it per call — pipeline.py:169-181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.audio import log_mel_spectrogram, mel_filterbank
+from ..ops.conv import conv1d
+
+
+@dataclasses.dataclass(frozen=True)
+class FcpeConfig:
+    input_channel: int = 128
+    out_dims: int = 360
+    n_layers: int = 12
+    n_chans: int = 512
+    n_heads: int = 8
+    f0_min: float = 32.70
+    f0_max: float = 1975.5
+    # mel frontend
+    sampling_rate: int = 16000
+    num_mels: int = 128
+    n_fft: int = 1024
+    win_size: int = 1024
+    hop_size: int = 160
+    fmin: float = 0.0
+    fmax: float = 8000.0
+
+    def cent_table(self) -> np.ndarray:
+        lo = 1200.0 * math.log2(self.f0_min / 10.0)
+        hi = 1200.0 * math.log2(self.f0_max / 10.0)
+        return np.linspace(lo, hi, self.out_dims, dtype=np.float32)
+
+
+@lru_cache(maxsize=4)
+def _fcpe_mel_basis(sr, n_fft, n_mels, fmin, fmax):
+    return mel_filterbank(
+        sr=sr, n_fft=n_fft, n_mels=n_mels, fmin=fmin, fmax=fmax, htk=False
+    )
+
+
+def fcpe_mel(audio, cfg: FcpeConfig):
+    """(B, T) -> (B, n_frames, mels); reference Wav2Mel (FCPE.py:96-164, 764-783)."""
+    t = audio.shape[-1]
+    pad_left = (cfg.win_size - cfg.hop_size) // 2
+    pad_right = max((cfg.win_size - cfg.hop_size + 1) // 2,
+                    cfg.win_size - t - pad_left)
+    mode = "reflect" if pad_right < t else "constant"
+    basis = _fcpe_mel_basis(cfg.sampling_rate, cfg.n_fft, cfg.num_mels,
+                            cfg.fmin, cfg.fmax)
+    mel = log_mel_spectrogram(
+        audio, basis, n_fft=cfg.n_fft, hop_length=cfg.hop_size,
+        win_length=cfg.win_size, center=False,
+        pad_left=pad_left, pad_right=pad_right, pad_mode=mode,
+        clamp=1e-5, magnitude_eps=1e-9,
+    )  # (B, mels, N)
+    mel = mel.swapaxes(1, 2)
+    n_frames = t // cfg.hop_size + 1
+    if n_frames > mel.shape[1]:
+        mel = jnp.concatenate([mel, mel[:, -1:]], axis=1)
+    return mel[:, :n_frames]
+
+
+def _layer_norm(x, p, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["gamma"].astype(x.dtype) + p["beta"].astype(x.dtype)
+
+
+def _group_norm_channels(x, gamma, beta, groups, eps=1e-5):
+    """GroupNorm on (B, C, T)."""
+    b, c, t = x.shape
+    xg = x.reshape(b, groups, c // groups, t)
+    mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
+    var = jnp.var(xg, axis=(2, 3), keepdims=True)
+    x = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, t)
+    return x * gamma.astype(x.dtype)[None, :, None] + beta.astype(x.dtype)[None, :, None]
+
+
+def _softmax_kernel(data, projection, *, is_query: bool, eps: float = 1e-4):
+    """Performer FAVOR+ feature map, exactly mirroring FCPE.py:170-197
+    (including the reference's eps-inside-exp quirk on the key branch)."""
+    d = data.shape[-1]
+    normalizer = d ** -0.25
+    ratio = projection.shape[0] ** -0.5
+    data_dash = jnp.einsum("bhnd,jd->bhnj", normalizer * data, projection)
+    diag = jnp.sum(data**2, axis=-1, keepdims=True) / 2.0 * (normalizer**2)
+    if is_query:
+        out = ratio * (
+            jnp.exp(data_dash - diag - jnp.max(data_dash, axis=-1, keepdims=True))
+            + eps
+        )
+    else:
+        out = ratio * jnp.exp(data_dash - diag + eps)
+    return out
+
+
+def _linear_attention(q, k, v):
+    """FCPE.py:339-348 non-causal linear attention."""
+    k_cumsum = k.sum(axis=-2)
+    d_inv = 1.0 / (jnp.einsum("bhnd,bhd->bhn", q, k_cumsum) + 1e-8)
+    context = jnp.einsum("bhnd,bhne->bhde", k, v)
+    return jnp.einsum("bhde,bhnd,bhn->bhne", context, q, d_inv)
+
+
+def _self_attention(x, p, n_heads: int):
+    b, n, c = x.shape
+    dh = c // n_heads
+
+    def proj(name):
+        y = x @ p[name]["w"].astype(x.dtype) + p[name]["b"].astype(x.dtype)
+        return y.reshape(b, n, n_heads, dh).swapaxes(1, 2)  # (B, H, N, dh)
+
+    q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
+    proj_mat = p["projection_matrix"].astype(x.dtype)
+    q = _softmax_kernel(q, proj_mat, is_query=True)
+    k = _softmax_kernel(k, proj_mat, is_query=False)
+    out = _linear_attention(q, k, v)
+    out = out.swapaxes(1, 2).reshape(b, n, c)
+    return out @ p["to_out"]["w"].astype(x.dtype) + p["to_out"]["b"].astype(x.dtype)
+
+
+def _conformer_conv(x, p):
+    """ConformerConvModule (FCPE.py:312-336): LN -> 1x1 conv -> GLU ->
+    depthwise k31 -> swish -> 1x1 conv."""
+    y = _layer_norm(x, p["norm"])
+    y = y.swapaxes(1, 2)  # (B, C, N)
+    y = conv1d(y, p["conv_in"]["w"], p["conv_in"]["b"])
+    a, g = jnp.split(y, 2, axis=1)
+    y = a * jax.nn.sigmoid(g)
+    y = conv1d(y, p["depthwise"]["w"], p["depthwise"]["b"],
+               padding=15, groups=y.shape[1])
+    y = y * jax.nn.sigmoid(y)  # swish
+    y = conv1d(y, p["conv_out"]["w"], p["conv_out"]["b"])
+    return y.swapaxes(1, 2)
+
+
+def fcpe_salience(params, cfg: FcpeConfig, mel):
+    """(B, N, mels) -> (B, N, 360) sigmoid salience (FCPE.forward, infer)."""
+    x = mel.swapaxes(1, 2)
+    st = params["stack"]
+    x = conv1d(x, st["conv1"]["w"], st["conv1"]["b"], padding=1)
+    x = _group_norm_channels(x, st["gn"]["gamma"], st["gn"]["beta"], groups=4)
+    x = jax.nn.leaky_relu(x, 0.01)
+    x = conv1d(x, st["conv2"]["w"], st["conv2"]["b"], padding=1)
+    x = x.swapaxes(1, 2)  # (B, N, C)
+
+    for lp in params["layers"]:
+        x = x + _self_attention(_layer_norm(x, lp["norm"]), lp["attn"], cfg.n_heads)
+        x = x + _conformer_conv(x, lp["conformer"])
+
+    x = _layer_norm(x, params["norm"])
+    x = x @ params["dense_out"]["w"].astype(x.dtype) + params["dense_out"]["b"].astype(x.dtype)
+    return jax.nn.sigmoid(x)
+
+
+def fcpe_decode(salience, cfg: FcpeConfig, threshold: float = 0.03):
+    """cents_local_decoder (FCPE.py:672-687) -> Hz, 0 where unconfident."""
+    cent_table = jnp.asarray(cfg.cent_table())
+    confident = jnp.max(salience, axis=-1)
+    max_idx = jnp.argmax(salience, axis=-1)
+    idx = jnp.clip(
+        max_idx[..., None] + jnp.arange(-4, 5)[None, :], 0, cfg.out_dims - 1
+    )
+    sal = jnp.take_along_axis(salience, idx, axis=-1)
+    cents = jnp.sum(cent_table[idx] * sal, axis=-1) / jnp.maximum(
+        jnp.sum(sal, axis=-1), 1e-12
+    )
+    f0 = 10.0 * (2.0 ** (cents / 1200.0))
+    return jnp.where(confident > threshold, f0, 0.0)
+
+
+def fcpe_post_process(f0: np.ndarray, p_len: int, hop: int, sr: int) -> np.ndarray:
+    """Predictor post (FCPE.py:845-870): nearest-resize to p_len, then fill
+    unvoiced gaps by interpolating between nonzero samples."""
+    n = len(f0)
+    if n != p_len:  # nearest interpolation
+        idx = np.clip((np.arange(p_len) * (n / p_len)).astype(np.int64), 0, n - 1)
+        f0 = f0[idx]
+    nz = np.nonzero(f0)[0]
+    if nz.size == 0:
+        return np.zeros(p_len, np.float32)
+    if nz.size == 1:
+        return np.full(p_len, f0[nz[0]], np.float32)
+    time_org = hop / sr * nz
+    time_frame = np.arange(p_len) * hop / sr
+    out = np.interp(time_frame, time_org, f0[nz], left=f0[nz[0]], right=f0[nz[-1]])
+    return out.astype(np.float32)

@@ -176,6 +176,7 @@ def log_mel_spectrogram(
     center: bool = True,
     pad_left: int | None = None,
     pad_right: int | None = None,
+    pad_mode: str = "reflect",
     clamp: float = 1e-5,
     magnitude_eps: float = 0.0,
 ):
@@ -188,6 +189,7 @@ def log_mel_spectrogram(
         center=center,
         pad_left=pad_left,
         pad_right=pad_right,
+        pad_mode=pad_mode,
         magnitude_eps=magnitude_eps,
     )
     mel = jnp.einsum("mf,...fn->...mn", jnp.asarray(mel_basis, mag.dtype), mag)

@@ -87,10 +87,16 @@ class VoiceConverter:
         hubert_cfg: HubertConfig,
         hubert_params: dict,
         rmvpe_params: Optional[dict] = None,
+        crepe_params: Optional[dict] = None,
+        fcpe_params: Optional[dict] = None,
+        fcpe_cfg=None,
         index_bank: Optional[np.ndarray] = None,
         engine: EngineConfig = EngineConfig(),
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
         self.synth_cfg = synth_cfg
         self.hubert_cfg = hubert_cfg
         self.engine = engine
@@ -99,28 +105,73 @@ class VoiceConverter:
         self.version = "v2" if synth_cfg.input_dim == 768 else "v1"
         self.compute_dtype = jnp.dtype(engine.compute_dtype)
 
-        self.synth_params = jax.tree.map(jnp.asarray, synth_params)
-        self.hubert_params = jax.tree.map(jnp.asarray, hubert_params)
-        self.rmvpe_params = (
-            jax.tree.map(jnp.asarray, rmvpe_params) if rmvpe_params else None
+        if mesh is not None:
+            from ..parallel.mesh import replicate, shard_hubert_params
+
+            self.synth_params = replicate(synth_params, mesh)
+            self.rmvpe_params = (
+                replicate(rmvpe_params, mesh) if rmvpe_params else None
+            )
+            if mesh.shape.get("model", 1) > 1:
+                self.hubert_params = shard_hubert_params(hubert_params, mesh)
+            else:
+                self.hubert_params = replicate(hubert_params, mesh)
+            self.index_bank = (
+                replicate(index_bank, mesh) if index_bank is not None else None
+            )
+        else:
+            self.synth_params = jax.tree.map(jnp.asarray, synth_params)
+            self.hubert_params = jax.tree.map(jnp.asarray, hubert_params)
+            self.rmvpe_params = (
+                jax.tree.map(jnp.asarray, rmvpe_params) if rmvpe_params else None
+            )
+            self.index_bank = (
+                jnp.asarray(index_bank) if index_bank is not None else None
+            )
+        self.crepe_params = (
+            jax.tree.map(jnp.asarray, crepe_params) if crepe_params else None
         )
-        self.index_bank = jnp.asarray(index_bank) if index_bank is not None else None
+        self.fcpe_params = (
+            jax.tree.map(jnp.asarray, fcpe_params) if fcpe_params else None
+        )
+        self.fcpe_cfg = fcpe_cfg
         self._chunk_fns = {}
         self._f0_fns = {}
+        self._crepe_fns = {}
+        self._fcpe_fns = {}
+
+    def _crepe_fn(self, bucket: int):
+        if bucket not in self._crepe_fns:
+            from ..models.crepe import crepe_salience
+
+            self._crepe_fns[bucket] = jax.jit(
+                lambda params, frames: crepe_salience(params, frames)
+            )
+        return self._crepe_fns[bucket]
 
     # ------------------------------------------------------------------
     # F0 (full-signal, reference get_f0 semantics)
     # ------------------------------------------------------------------
 
-    def _f0_fn(self, n_frames_bucket: int):
-        if n_frames_bucket not in self._f0_fns:
+    def _f0_fn(self, samples_bucket: int):
+        if samples_bucket not in self._f0_fns:
+            # params travel as jit arguments, NOT closures: closed-over
+            # weights get baked into the HLO as constants, which bloats
+            # serialized programs and forces XLA to constant-fold them.
+            # mel + U-Net + decode fuse into ONE graph: eager mel dispatch
+            # is tunnel-latency-bound in this environment
             @jax.jit
-            def fn(mel, threshold):
-                sal = rmvpe_salience(self.rmvpe_params, mel)
+            def fn(params, audio, threshold):
+                mel = rmvpe_mel(audio)
+                n = mel.shape[-1]
+                pad = (-n) % 32
+                if pad:
+                    mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
+                sal = rmvpe_salience(params, mel)[:, :n]
                 return salience_to_f0(sal.astype(jnp.float32), threshold)
 
-            self._f0_fns[n_frames_bucket] = fn
-        return self._f0_fns[n_frames_bucket]
+            self._f0_fns[samples_bucket] = fn
+        return self._f0_fns[samples_bucket]
 
     def compute_f0(self, audio_pad: np.ndarray, p_len: int,
                    opts: ConversionOptions) -> tuple[np.ndarray, np.ndarray]:
@@ -151,11 +202,13 @@ class VoiceConverter:
     def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
         if self.rmvpe_params is None:
             raise RuntimeError("rmvpe weights not loaded")
-        mel = rmvpe_mel(jnp.asarray(audio, jnp.float32)[None])
-        n = mel.shape[-1]
-        bucket = int(np.ceil(n / _F0_FRAME_BUCKET)) * _F0_FRAME_BUCKET
-        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, bucket - n)))
-        f0 = self._f0_fn(bucket)(mel, 0.03)
+        t = audio.shape[0]
+        n = t // 160 + 1  # mel frames for this signal
+        step = _F0_FRAME_BUCKET * 160
+        bucket = int(np.ceil(t / step)) * step
+        audio_b = np.zeros(bucket, np.float32)
+        audio_b[:t] = audio
+        f0 = self._f0_fn(bucket)(self.rmvpe_params, jnp.asarray(audio_b)[None], 0.03)
         f0 = np.array(f0[0, :n])  # copy: jax buffers are read-only
         # "rmvpe+": zero outside [f0_min, f0_max] (RMVPE.py:487-496)
         f0[(f0 < opts.f0_min) | (f0 > opts.f0_max)] = 0.0
@@ -197,19 +250,20 @@ class VoiceConverter:
         noise_scale = self.engine.noise_scale
         cdt = self.compute_dtype
 
-        def step(wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
+        def step(hubert_params, synth_params, bank,
+                 wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
             out_layer = (
                 9 if (v1 and self.hubert_cfg.n_layers >= 9)
                 else self.hubert_cfg.n_layers
             )
             feats = hubert_extract(
-                self.hubert_params, self.hubert_cfg, wav,
+                hubert_params, self.hubert_cfg, wav,
                 output_layer=out_layer, final_proj=v1, compute_dtype=cdt,
             )
             feats0 = feats if use_protect else None
             if use_index:
                 feats = retrieval_blend(
-                    feats, self.index_bank, index_rate, k=self.engine.retrieval_k
+                    feats, bank, index_rate, k=self.engine.retrieval_k
                 )
             feats = jnp.repeat(feats, 2, axis=1)[:, :p_len]
             if use_protect:
@@ -218,7 +272,7 @@ class VoiceConverter:
                 feats = feats * pff + feats0 * (1.0 - pff)
             x_mask = frame_mask[:, None, :].astype(cdt)
             audio = synthesizer_infer(
-                self.synth_params, self.synth_cfg,
+                synth_params, self.synth_cfg,
                 feats, x_mask,
                 pitch if use_f0 else None,
                 pitchf if use_f0 else None,
@@ -227,7 +281,14 @@ class VoiceConverter:
             )
             return audio.astype(jnp.float32)
 
-        fn = jax.jit(step)
+        jitted = jax.jit(step)
+
+        def fn(wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
+            return jitted(
+                self.hubert_params, self.synth_params, self.index_bank,
+                wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key,
+            )
+
         self._chunk_fns[key] = (fn, p_len)
         return self._chunk_fns[key]
 
@@ -306,12 +367,23 @@ class VoiceConverter:
             rng, sub = jax.random.split(rng)
             progress(0.3 + 0.6 * g0 / max(n_chunks, 1),
                      f"converting chunks {g0 + 1}-{idxs[-1] + 1}/{n_chunks}")
+            sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                wav_d = shard_batch(jnp.asarray(wav), self.mesh)
+                pitch_d = shard_batch(jnp.asarray(pitch_b), self.mesh)
+                pitchf_d = shard_batch(jnp.asarray(pitchf_b), self.mesh)
+                mask_d = shard_batch(jnp.asarray(mask_b), self.mesh)
+                sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
+            else:
+                wav_d, pitch_d, pitchf_d, mask_d, sid_d = map(
+                    jnp.asarray, (wav, pitch_b, pitchf_b, mask_b, sid_b)
+                )
             out = fn(
-                jnp.asarray(wav), jnp.asarray(pitch_b), jnp.asarray(pitchf_b),
-                jnp.asarray(mask_b),
+                wav_d, pitch_d, pitchf_d, mask_d,
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
-                jnp.full((eng.chunk_batch,), opts.speaker_id, jnp.int32),
-                sub,
+                sid_d, sub,
             )
             out = np.asarray(out)
             for row, v in enumerate(valid_frames):

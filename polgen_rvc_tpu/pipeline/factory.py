@@ -1,0 +1,72 @@
+"""Builders assembling a VoiceConverter from checkpoints or synthetic weights."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..convert.hubert_ckpt import convert_hubert_state, load_hubert_checkpoint
+from ..convert.rmvpe_ckpt import convert_rmvpe_state, load_rmvpe_checkpoint
+from ..convert.rvc_ckpt import build_config, convert_synthesizer_state, load_rvc_checkpoint
+from ..convert.synthetic import make_hubert_state, make_rmvpe_state, make_rvc_checkpoint
+from ..retrieval.topk import load_index_bank
+from .config import EngineConfig
+from .engine import VoiceConverter
+
+
+def build_converter(
+    rvc_path: str,
+    hubert_path: str,
+    rmvpe_path: Optional[str] = None,
+    index_path: Optional[str] = None,
+    *,
+    engine: EngineConfig = EngineConfig(),
+    mesh=None,
+) -> VoiceConverter:
+    """Load real checkpoints (one-time host conversion) into an engine."""
+    synth_cfg, synth_params, _ = load_rvc_checkpoint(rvc_path)
+    hub_cfg, hub_params = load_hubert_checkpoint(hubert_path)
+    rmvpe_params = load_rmvpe_checkpoint(rmvpe_path) if rmvpe_path else None
+    bank = load_index_bank(index_path) if index_path else None
+    return VoiceConverter(
+        synth_cfg=synth_cfg, synth_params=synth_params,
+        hubert_cfg=hub_cfg, hubert_params=hub_params,
+        rmvpe_params=rmvpe_params, index_bank=bank,
+        engine=engine, mesh=mesh,
+    )
+
+
+def build_synthetic_converter(
+    *,
+    tiny: bool = True,
+    sr: int = 48000,
+    index_vectors: int = 0,
+    engine: EngineConfig = EngineConfig(),
+    mesh=None,
+    seed: int = 0,
+) -> VoiceConverter:
+    """Assemble a converter from fabricated weights (tests, benchmarks,
+    compile checks — no real checkpoints exist in this environment)."""
+    cpt = make_rvc_checkpoint(sr=sr, tiny=tiny, seed=seed)
+    synth_cfg = build_config(cpt["config"], use_f0=True, version="v2")
+    synth_params = convert_synthesizer_state(cpt["weight"], synth_cfg)
+    hub_cfg, hub_sd = make_hubert_state(tiny=tiny, seed=seed + 1)
+    if hub_cfg.embed_dim != synth_cfg.input_dim:
+        rng = np.random.default_rng(seed + 2)
+        synth_params["enc_p"]["emb_phone"]["w"] = (
+            rng.standard_normal((hub_cfg.embed_dim, synth_cfg.hidden_channels))
+            / np.sqrt(hub_cfg.embed_dim)
+        ).astype(np.float32)
+    bank = None
+    if index_vectors:
+        rng = np.random.default_rng(seed + 3)
+        bank = (rng.standard_normal((index_vectors, hub_cfg.embed_dim)) * 0.5).astype(
+            np.float32
+        )
+    return VoiceConverter(
+        synth_cfg=synth_cfg, synth_params=synth_params,
+        hubert_cfg=hub_cfg, hubert_params=convert_hubert_state(hub_sd, hub_cfg),
+        rmvpe_params=convert_rmvpe_state(make_rmvpe_state(seed=seed + 4)),
+        index_bank=bank, engine=engine, mesh=mesh,
+    )

@@ -82,7 +82,7 @@ def _write_wav(path: str, samples: np.ndarray, sr: int, *, subtype: str = "pcm16
         pcm = samples
     else:
         pcm = np.clip(samples, -1.0, 1.0)
-        pcm = (pcm * 32767.0).astype(np.int16)
+        pcm = np.round(pcm * 32767.0).astype(np.int16)
     with wave.open(path, "wb") as w:
         w.setnchannels(pcm.shape[1])
         w.setsampwidth(2)

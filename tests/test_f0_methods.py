@@ -1,0 +1,103 @@
+"""CREPE + FCPE models and method glue (synthetic weights, CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from polgen_rvc_tpu.convert.crepe_ckpt import convert_crepe_state, make_crepe_state
+from polgen_rvc_tpu.convert.fcpe_ckpt import convert_fcpe_state, make_fcpe_state
+from polgen_rvc_tpu.models.crepe import (
+    crepe_f0_decode,
+    crepe_frames,
+    crepe_salience,
+    viterbi_path,
+)
+from polgen_rvc_tpu.models.fcpe import (
+    fcpe_decode,
+    fcpe_mel,
+    fcpe_post_process,
+    fcpe_salience,
+)
+
+
+def test_crepe_frames_shape_and_norm(rng):
+    audio = rng.standard_normal((1, 16000)).astype(np.float32)
+    hop = 160
+    frames = np.asarray(crepe_frames(jnp.asarray(audio), hop))
+    assert frames.shape == (1, 1 + 16000 // hop, 1024)
+    np.testing.assert_allclose(frames.mean(-1), 0, atol=1e-4)
+
+
+def test_crepe_salience_shape(rng):
+    params = convert_crepe_state(make_crepe_state(seed=0))
+    frames = rng.standard_normal((4, 1024)).astype(np.float32)
+    sal = np.asarray(crepe_salience(params, jnp.asarray(frames)))
+    assert sal.shape == (4, 360)
+    assert np.all((sal >= 0) & (sal <= 1))
+
+
+def test_viterbi_prefers_smooth_paths():
+    t = 30
+    probs = np.full((t, 360), 1e-3)
+    probs[:, 100] = 0.5
+    probs[10, 300] = 0.9  # single-frame outlier: transition cost must veto it
+    path = viterbi_path(probs)
+    assert np.all(np.abs(np.diff(path)) <= 11)
+    assert path[10] != 300
+    f0 = crepe_f0_decode(probs, f0_min=50, f0_max=1100)
+    assert f0.shape == (t,)
+
+
+def test_fcpe_mel_and_salience(rng):
+    cfg, sd = make_fcpe_state(tiny=True, seed=0)
+    params = convert_fcpe_state(sd, cfg)
+    audio = rng.standard_normal((1, 16000)).astype(np.float32)
+    mel = fcpe_mel(jnp.asarray(audio), cfg)
+    assert mel.shape == (1, 16000 // cfg.hop_size + 1, cfg.num_mels)
+    sal = np.asarray(fcpe_salience(params, cfg, mel))
+    assert sal.shape == (1, mel.shape[1], 360)
+    assert np.all((sal >= 0) & (sal <= 1))
+    f0 = np.asarray(fcpe_decode(jnp.asarray(sal), cfg, 0.03))
+    assert f0.shape == (1, mel.shape[1])
+    assert np.all(f0 >= 0)
+
+
+def test_fcpe_post_process_fills_gaps():
+    f0 = np.array([0, 0, 100, 0, 0, 200, 0, 0], np.float32)
+    out = fcpe_post_process(f0, 8, 160, 16000)
+    assert out.shape == (8,)
+    assert np.all(out > 0)  # gaps interpolated / edge-extended
+    np.testing.assert_allclose(out[2], 100, rtol=1e-5)
+    assert out[0] == 100 and out[-1] == 200  # edge extension
+
+
+def test_fcpe_post_process_degenerate():
+    assert np.all(fcpe_post_process(np.zeros(5, np.float32), 7, 160, 16000) == 0)
+    out = fcpe_post_process(np.array([0, 150.0, 0], np.float32), 5, 160, 16000)
+    np.testing.assert_allclose(out, 150.0)
+
+
+def test_engine_crepe_and_fcpe_methods(rng):
+    from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    vc = build_synthetic_converter(
+        tiny=True, sr=48000,
+        engine=EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8,
+                            chunk_batch=1, bucket_step_s=2),
+    )
+    vc.crepe_params = jax.tree.map(
+        jnp.asarray, convert_crepe_state(make_crepe_state(seed=1))
+    )
+    fcfg, fsd = make_fcpe_state(tiny=True, seed=2)
+    vc.fcpe_params = jax.tree.map(jnp.asarray, convert_fcpe_state(fsd, fcfg))
+    vc.fcpe_cfg = fcfg
+
+    t = np.arange(32000) / 16000
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    for method in ("mangio-crepe", "fcpe"):
+        out, sr = vc.convert(
+            audio, ConversionOptions(f0_method=method, hop_length=160)
+        )
+        assert sr == 48000 and len(out) > 0, method
