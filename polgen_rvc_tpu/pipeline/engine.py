@@ -335,7 +335,7 @@ class VoiceConverter:
         window = eng.window
         rng = jax.random.PRNGKey(opts.seed)
 
-        outputs = []
+        pending = []  # (device_out, valid_frames) — dispatch all, fetch later
         n_chunks = len(plan.chunks)
         for g0 in range(0, n_chunks, eng.chunk_batch):
             idxs = list(range(g0, min(g0 + eng.chunk_batch, n_chunks)))
@@ -385,10 +385,15 @@ class VoiceConverter:
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
                 sid_d, sub,
             )
+            # async dispatch: don't synchronize here — later batches overlap
+            # with this one's execution and with host-side prep
+            pending.append((out, valid_frames))
+
+        outputs = []
+        for out, valid_frames in pending:
             out = np.asarray(out)
             for row, v in enumerate(valid_frames):
-                seg = out[row, t_pad_tgt : v * upp - t_pad_tgt]
-                outputs.append(seg)
+                outputs.append(out[row, t_pad_tgt : v * upp - t_pad_tgt])
 
         audio_opt = np.concatenate(outputs)
 
