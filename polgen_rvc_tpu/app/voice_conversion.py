@@ -72,6 +72,8 @@ def get_converter(
         hubert_path,
         rmvpe_path if os.path.exists(rmvpe_path) else None,
         index if use_index else None,
+        crepe_path=CREPE_MODEL_PATH if os.path.exists(CREPE_MODEL_PATH) else None,
+        fcpe_path=FCPE_MODEL_PATH if os.path.exists(FCPE_MODEL_PATH) else None,
         engine=engine or EngineConfig(),
     )
     _CONVERTER_CACHE[key] = vc

@@ -116,7 +116,8 @@ def _resblock_dilations(cfg: SynthesizerConfig):
 # ---------------------------------------------------------------------------
 
 
-def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None):
+def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
+                  use_pallas: bool = False):
     """GeneratorNSF (nsf.py:43-144): conv_pre -> per-stage [lrelu ->
     transposed-conv upsample -> + noise_conv(source)] -> mean(resblocks)
     -> lrelu -> conv_post -> tanh.
@@ -154,12 +155,40 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None):
             har, params["noise_convs"][i]["w"], params["noise_convs"][i]["b"],
             stride=stride_f0, padding=npad,
         )
-        acc = None
-        for j in range(num_kernels):
-            ksz, dil = kd[j]
-            r = resblock(x, params["resblocks"][i * num_kernels + j], kernel_size=ksz, dilations=dil)
-            acc = r if acc is None else acc + r
-        x = acc / num_kernels
+        stage_params = [
+            params["resblocks"][i * num_kernels + j] for j in range(num_kernels)
+        ]
+        if use_pallas and x.shape[1] <= 128:
+            # fused Pallas path: the low-channel stages run ~6% MXU util
+            # under XLA's conv lowering (see ops/pallas_resblock.py)
+            from ..ops.pallas_resblock import fused_resblock_group
+
+            x = fused_resblock_group(
+                x, stage_params,
+                kernel_sizes=[k for k, _ in kd],
+                dilations=[d for _, d in kd],
+            )
+        elif use_pallas and x.shape[1] <= 256:
+            # C=256: one resblock's weights fit VMEM, all three don't —
+            # run per-resblock kernels and mean outside
+            from ..ops.pallas_resblock import fused_resblock_group
+
+            acc = None
+            for j in range(num_kernels):
+                ksz, dil = kd[j]
+                r = fused_resblock_group(
+                    x, [stage_params[j]], kernel_sizes=[ksz], dilations=[dil],
+                    time_tile=256,
+                )
+                acc = r if acc is None else acc + r
+            x = acc / num_kernels
+        else:
+            acc = None
+            for j in range(num_kernels):
+                ksz, dil = kd[j]
+                r = resblock(x, stage_params[j], kernel_size=ksz, dilations=dil)
+                acc = r if acc is None else acc + r
+            x = acc / num_kernels
 
     x = jax.nn.leaky_relu(x, 0.01)  # default F.leaky_relu slope (nsf.py:142)
     x = conv1d(x, params["conv_post"]["w"], None, padding=3)

@@ -70,10 +70,12 @@ def _avg_pool_2x2(x):
     return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
 
 
-def rmvpe_salience(params, mel):
+def rmvpe_salience(params, mel, *, use_pallas: bool = False):
     """(B, 128, T) log-mel -> (B, T, 360) sigmoid salience (E2E.forward).
 
     T must be a multiple of 32 (five 2x poolings); callers pad reflect.
+    use_pallas runs the BiGRU as a single in-kernel scan (TPU: the
+    lax.scan step overhead dominates the whole F0 pass otherwise).
     """
     x = mel.swapaxes(1, 2)[:, None]  # (B, 1, T, 128)
     # input BatchNorm (Encoder.bn) folded to an affine transform
@@ -105,7 +107,12 @@ def rmvpe_salience(params, mel):
     b, c, t, m = x.shape
     x = x.swapaxes(1, 2).reshape(b, t, c * m)  # (B, T, 384)
 
-    x = bigru(x, params["gru"])  # (B, T, 512)
+    if use_pallas and x.shape[0] == 1:
+        from ..ops.pallas_gru import bigru_pallas
+
+        x = bigru_pallas(x, params["gru"])  # (B, T, 512)
+    else:
+        x = bigru(x, params["gru"])  # (B, T, 512)
     x = x @ params["fc"]["w"].astype(x.dtype) + params["fc"]["b"].astype(x.dtype)
     return jax.nn.sigmoid(x)
 

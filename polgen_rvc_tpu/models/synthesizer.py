@@ -277,6 +277,7 @@ def synthesizer_infer(
     rng: Optional[jax.Array] = None,
     noise_scale: float = 0.66666,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ):
     """Full generator inference (synthesizers.py:162-188).
 
@@ -310,7 +311,9 @@ def synthesizer_infer(
     z = z * x_mask
 
     if cfg.use_f0:
-        audio = generator_nsf(params["dec"], cfg, z, nsff0, g, rng=k_nsf)
+        audio = generator_nsf(
+            params["dec"], cfg, z, nsff0, g, rng=k_nsf, use_pallas=use_pallas
+        )
     else:
         audio = generator(params["dec"], cfg, z, g)
     return audio

@@ -139,6 +139,7 @@ class VoiceConverter:
         self._f0_fns = {}
         self._crepe_fns = {}
         self._fcpe_fns = {}
+        self._finalize_fns = {}
 
     def _crepe_fn(self, bucket: int):
         if bucket not in self._crepe_fns:
@@ -160,6 +161,8 @@ class VoiceConverter:
             # serialized programs and forces XLA to constant-fold them.
             # mel + U-Net + decode fuse into ONE graph: eager mel dispatch
             # is tunnel-latency-bound in this environment
+            use_pallas = jax.default_backend() not in ("cpu",)
+
             @jax.jit
             def fn(params, audio, threshold):
                 mel = rmvpe_mel(audio)
@@ -167,7 +170,7 @@ class VoiceConverter:
                 pad = (-n) % 32
                 if pad:
                     mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
-                sal = rmvpe_salience(params, mel)[:, :n]
+                sal = rmvpe_salience(params, mel, use_pallas=use_pallas)[:, :n]
                 return salience_to_f0(sal.astype(jnp.float32), threshold)
 
             self._f0_fns[samples_bucket] = fn
@@ -249,6 +252,8 @@ class VoiceConverter:
         v1 = self.version == "v1"
         noise_scale = self.engine.noise_scale
         cdt = self.compute_dtype
+        # fused Pallas resblocks on real TPUs; XLA path on CPU/interpret
+        use_pallas = jax.default_backend() not in ("cpu",)
 
         def step(hubert_params, synth_params, bank,
                  wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
@@ -277,7 +282,7 @@ class VoiceConverter:
                 pitch if use_f0 else None,
                 pitchf if use_f0 else None,
                 sid=sid, rng=key, noise_scale=noise_scale,
-                compute_dtype=cdt,
+                compute_dtype=cdt, use_pallas=use_pallas,
             )
             return audio.astype(jnp.float32)
 
@@ -291,6 +296,89 @@ class VoiceConverter:
 
         self._chunk_fns[key] = (fn, p_len)
         return self._chunk_fns[key]
+
+    # ------------------------------------------------------------------
+    # device-side finalization: trim + concat + RMS mix + normalize + int16
+    # ------------------------------------------------------------------
+
+    def _finalize_fn(self, n_batches: int, batch: int, row_len: int,
+                     l16b: int, l48b: int):
+        """One graph replacing the host post-processing (change_rms +
+        normalize, pipeline.py:449-461): chunk outputs stay on device,
+        valid regions scatter into place via dynamic slices, envelopes
+        transfer, and only the final int16 crosses the host link."""
+        key = (n_batches, batch, row_len, l16b, l48b)
+        if key in self._finalize_fns:
+            return self._finalize_fns[key]
+
+        t_pad_tgt = self.tgt_sr * self.engine.x_pad
+        upp = self.synth_cfg.upp
+        src_sr = self.engine.sample_rate
+        tgt_sr = self.tgt_sr
+        f1_len, f1_hop = src_sr // 2 * 2, src_sr // 2
+        f2_len, f2_hop = tgt_sr // 2 * 2, tgt_sr // 2
+        nf1 = 1 + l16b // f1_hop
+        nf2 = 1 + l48b // f2_hop
+
+        def rms_frames(x, frame, hop, n_frames):
+            xp = jnp.pad(x, (frame // 2, frame // 2))
+            idx = (jnp.arange(n_frames)[:, None] * hop
+                   + jnp.arange(frame)[None, :])
+            return jnp.sqrt(jnp.mean(jnp.take(xp, idx, axis=0) ** 2, axis=-1))
+
+        def interp_to(vals, n_valid, out_len_scalar, out_size):
+            # F.interpolate(linear, align_corners=False) with dynamic counts
+            pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+                n_valid.astype(jnp.float32) / out_len_scalar.astype(jnp.float32)
+            ) - 0.5
+            pos = jnp.clip(pos, 0.0, n_valid.astype(jnp.float32) - 1.0)
+            lo = jnp.floor(pos).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, n_valid - 1)
+            frac = pos - lo.astype(jnp.float32)
+            return vals[lo] * (1 - frac) + vals[hi] * frac
+
+        @jax.jit
+        def fn(batches, v_arr, src16, n16, n_out, rate):
+            total = jnp.zeros(l48b + row_len, jnp.float32)
+            off = jnp.asarray(t_pad_tgt, jnp.int32)  # front guard
+            idx_row = jnp.arange(row_len)
+            ci = 0
+            for out_b in batches:
+                for row in range(batch):
+                    v = v_arr[ci]
+                    ci += 1
+                    valid_end = v * upp - t_pad_tgt
+                    seg = jnp.where(
+                        (idx_row >= t_pad_tgt) & (idx_row < valid_end),
+                        out_b[row], 0.0,
+                    )
+                    place = off - t_pad_tgt
+                    window = jax.lax.dynamic_slice(total, (place,), (row_len,))
+                    total = jax.lax.dynamic_update_slice(
+                        total, window + seg, (place,)
+                    )
+                    off = off + jnp.maximum(valid_end - t_pad_tgt, 0)
+            audio = jax.lax.dynamic_slice(total, (t_pad_tgt,), (l48b,))
+
+            # RMS envelope transfer (change_rms, pipeline.py:29-61)
+            src = src16.astype(jnp.float32) / 32767.0
+            rms1 = rms_frames(src, f1_len, f1_hop, nf1)
+            rms2 = rms_frames(audio, f2_len, f2_hop, nf2)
+            n1 = 1 + n16 // f1_hop
+            n2 = 1 + n_out // f2_hop
+            g1 = interp_to(rms1, n1, n_out, l48b)
+            g2 = jnp.maximum(interp_to(rms2, n2, n_out, l48b), 1e-6)
+            gain = jnp.power(g1, 1.0 - rate) * jnp.power(g2, rate - 1.0)
+            audio = jnp.where(rate != 1.0, audio * gain, audio)
+
+            valid = jnp.arange(l48b) < n_out
+            audio = jnp.where(valid, audio, 0.0)
+            amax = jnp.max(jnp.abs(audio)) / 0.99
+            factor = jnp.where(amax > 1.0, 32768.0 / amax, 32768.0)
+            return (audio * factor).astype(jnp.int16)
+
+        self._finalize_fns[key] = fn
+        return fn
 
     # ------------------------------------------------------------------
     # full pipeline
@@ -389,12 +477,52 @@ class VoiceConverter:
             # with this one's execution and with host-side prep
             pending.append((out, valid_frames))
 
+        all_valid = [v for _, vf in pending for v in vf]
+        total_out = sum(
+            max(v * upp - 2 * t_pad_tgt, 0) for v in all_valid
+        )
+        needs_resample = (
+            opts.resample_sr >= eng.sample_rate
+            and opts.resample_sr != self.tgt_sr
+        )
+
+        if not needs_resample:
+            # device-side finalize: trim/concat via dynamic slices, RMS
+            # envelope transfer, normalize, int16 — one graph, one fetch
+            progress(0.92, "finalizing on device")
+            row_len = pending[0][0].shape[1]
+            l16b = int(np.ceil(audio.shape[0] / (60 * 16000))) * 60 * 16000
+            l48b = int(np.ceil(total_out / (60 * self.tgt_sr))) * 60 * self.tgt_sr
+            fin = self._finalize_fn(
+                len(pending), eng.chunk_batch, row_len, l16b, l48b
+            )
+            v_arr = np.zeros(len(pending) * eng.chunk_batch, np.int32)
+            ci = 0
+            for _, vf in pending:
+                for v in vf:
+                    v_arr[ci] = v
+                    ci += 1
+                ci += eng.chunk_batch - len(vf)  # dummy rows keep v=0
+            src16 = np.clip(np.round(audio * 32767.0), -32768, 32767).astype(np.int16)
+            src16 = np.pad(src16, (0, l16b - len(src16)))
+            out_i16 = fin(
+                tuple(out for out, _ in pending),
+                jnp.asarray(v_arr),
+                jnp.asarray(src16),
+                jnp.int32(audio.shape[0]),
+                jnp.int32(total_out),
+                jnp.float32(opts.volume_envelope),
+            )
+            audio_int16 = np.asarray(out_i16)[:total_out]
+            progress(1.0, "done")
+            return audio_int16, self.tgt_sr
+
+        # host fallback path (output resampling requested)
         outputs = []
         for out, valid_frames in pending:
             out = np.asarray(out)
             for row, v in enumerate(valid_frames):
                 outputs.append(out[row, t_pad_tgt : v * upp - t_pad_tgt])
-
         audio_opt = np.concatenate(outputs)
 
         if opts.volume_envelope != 1.0:
@@ -403,16 +531,14 @@ class VoiceConverter:
                 audio, eng.sample_rate, audio_opt, self.tgt_sr,
                 opts.volume_envelope,
             )
-        out_sr = self.tgt_sr
-        if opts.resample_sr >= eng.sample_rate and opts.resample_sr != self.tgt_sr:
-            from scipy.signal import resample_poly
-            import math as _math
+        from scipy.signal import resample_poly
+        import math as _math
 
-            g = _math.gcd(self.tgt_sr, opts.resample_sr)
-            audio_opt = resample_poly(
-                audio_opt, opts.resample_sr // g, self.tgt_sr // g
-            )
-            out_sr = opts.resample_sr
+        g = _math.gcd(self.tgt_sr, opts.resample_sr)
+        audio_opt = resample_poly(
+            audio_opt, opts.resample_sr // g, self.tgt_sr // g
+        )
+        out_sr = opts.resample_sr
 
         audio_max = np.abs(audio_opt).max() / 0.99
         max_int16 = 32768.0

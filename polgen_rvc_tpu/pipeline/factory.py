@@ -21,6 +21,8 @@ def build_converter(
     rmvpe_path: Optional[str] = None,
     index_path: Optional[str] = None,
     *,
+    crepe_path: Optional[str] = None,
+    fcpe_path: Optional[str] = None,
     engine: EngineConfig = EngineConfig(),
     mesh=None,
 ) -> VoiceConverter:
@@ -29,10 +31,22 @@ def build_converter(
     hub_cfg, hub_params = load_hubert_checkpoint(hubert_path)
     rmvpe_params = load_rmvpe_checkpoint(rmvpe_path) if rmvpe_path else None
     bank = load_index_bank(index_path) if index_path else None
+    crepe_params = None
+    if crepe_path:
+        from ..convert.crepe_ckpt import load_crepe_checkpoint
+
+        crepe_params = load_crepe_checkpoint(crepe_path)
+    fcpe_cfg = fcpe_params = None
+    if fcpe_path:
+        from ..convert.fcpe_ckpt import load_fcpe_checkpoint
+
+        fcpe_cfg, fcpe_params = load_fcpe_checkpoint(fcpe_path)
     return VoiceConverter(
         synth_cfg=synth_cfg, synth_params=synth_params,
         hubert_cfg=hub_cfg, hubert_params=hub_params,
         rmvpe_params=rmvpe_params, index_bank=bank,
+        crepe_params=crepe_params,
+        fcpe_params=fcpe_params, fcpe_cfg=fcpe_cfg,
         engine=engine, mesh=mesh,
     )
 

@@ -186,3 +186,26 @@ def test_mixdown_pipeline(tmp_path, rng):
     y, osr = read_audio(out)
     assert osr == sr and len(y) == sr
     assert np.abs(y).max() > 0.05
+
+
+def test_flac_native_roundtrip(tmp_path, rng):
+    try:
+        from polgen_rvc_tpu.native import flac
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    sr = 32000
+    t = np.arange(sr // 2) / sr
+    x = np.stack(
+        [0.5 * np.sin(2 * np.pi * 220 * t),
+         np.clip(rng.standard_normal(t.size) * 0.1, -1, 1)], axis=1
+    ).astype(np.float32)
+    p = str(tmp_path / "x.flac")
+    flac.encode(p, x, sr)
+    y, rate = flac.decode(p)
+    assert rate == sr and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+    # through the generic IO layer too
+    write_audio(str(tmp_path / "y.flac"), x, sr)
+    z, r2 = read_audio(str(tmp_path / "y.flac"))
+    assert r2 == sr
+    np.testing.assert_allclose(z, x, atol=1.0 / 32000)
