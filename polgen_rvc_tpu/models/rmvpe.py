@@ -65,6 +65,22 @@ def _conv_block_res(x, p):
     return y + x
 
 
+def _block_chain(x, blocks, use_pallas: bool):
+    """Run a ConvBlockRes chain; fused Pallas kernel where it pays
+    (low-channel stages, B=1 — see ops/pallas_unet.py)."""
+    c_out = blocks[0]["conv1"]["w"].shape[0]
+    c_in = blocks[0]["conv1"]["w"].shape[1]
+    if use_pallas and c_out <= 128 and x.shape[0] == 1:
+        from ..ops.pallas_unet import fused_convblock_chain
+
+        # tile sized to VMEM: wide chains need narrower time tiles
+        tile = 32 if max(c_in, c_out) >= 128 else 64
+        return fused_convblock_chain(x, blocks, time_tile=tile)
+    for blk in blocks:
+        x = _conv_block_res(x, blk)
+    return x
+
+
 def _avg_pool_2x2(x):
     b, c, h, w = x.shape
     return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
@@ -84,14 +100,12 @@ def rmvpe_salience(params, mel, *, use_pallas: bool = False):
 
     skips = []
     for enc in params["encoder"]:
-        for blk in enc["blocks"]:
-            x = _conv_block_res(x, blk)
+        x = _block_chain(x, enc["blocks"], use_pallas)
         skips.append(x)
         x = _avg_pool_2x2(x)
 
     for inter in params["intermediate"]:
-        for blk in inter["blocks"]:
-            x = _conv_block_res(x, blk)
+        x = _block_chain(x, inter["blocks"], False)  # C=512: XLA is fine
 
     for dec, skip in zip(params["decoder"], reversed(skips)):
         up = dec["up"]
@@ -100,8 +114,7 @@ def rmvpe_salience(params, mel, *, use_pallas: bool = False):
         )
         x = jax.nn.relu(x)
         x = jnp.concatenate([x, skip], axis=1)
-        for blk in dec["blocks"]:
-            x = _conv_block_res(x, blk)
+        x = _block_chain(x, dec["blocks"], use_pallas)
 
     x = conv2d(x, params["cnn"]["w"], params["cnn"]["b"], padding=1)  # (B,3,T,128)
     b, c, t, m = x.shape

@@ -161,7 +161,9 @@ class VoiceConverter:
             # serialized programs and forces XLA to constant-fold them.
             # mel + U-Net + decode fuse into ONE graph: eager mel dispatch
             # is tunnel-latency-bound in this environment
-            use_pallas = jax.default_backend() not in ("cpu",)
+            # measured on v5e: the Pallas U-Net/GRU paths do NOT beat XLA for
+            # RMVPE (C=16..64 stages can't fill the MXU either way); keep XLA
+            use_pallas = False
 
             @jax.jit
             def fn(params, audio, threshold):
