@@ -146,10 +146,19 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
             stride_f0 *= r
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         u, k = rates[i], kernels[i]
-        x = conv_transpose1d(
-            x, params["ups"][i]["w"], params["ups"][i]["b"],
-            stride=u, padding=(k - u) // 2,
-        )
+        if use_pallas and k - 2 * ((k - u) // 2) == u:
+            from ..ops.pallas_convtranspose import conv_transpose1d_pallas
+
+            x = conv_transpose1d_pallas(
+                x, params["ups"][i]["w"], params["ups"][i]["b"],
+                stride=u, padding=(k - u) // 2,
+                time_tile=128 if u >= 12 else 256,
+            )
+        else:
+            x = conv_transpose1d(
+                x, params["ups"][i]["w"], params["ups"][i]["b"],
+                stride=u, padding=(k - u) // 2,
+            )
         npad = stride_f0 // 2 if stride_f0 > 1 else 0
         x = x + conv1d(
             har, params["noise_convs"][i]["w"], params["noise_convs"][i]["b"],

@@ -101,10 +101,40 @@ def _window_rel_embeddings(emb, length: int, window_size: int):
     return emb[:, start : start + 2 * length - 1]
 
 
+def _band_to_dense(band, t: int, w: int):
+    """(..., T, 2w+1) diagonal band -> (..., T, T) dense with zeros outside.
+
+    D[t, s] = band[t, s - t + w] for |s - t| <= w. One pad + one reshape
+    (the textbook rel->abs trick materializes (T, 2T-1) intermediates —
+    2x the final size — which is pure HBM traffic at song-scale T)."""
+    lead = band.shape[:-2]
+    a = jnp.pad(band, [(0, 0)] * len(lead) + [(0, 0), (0, t - w)])
+    flat = a.reshape(*lead, t * (t + w + 1))
+    d = flat[..., : t * (t + w)].reshape(*lead, t, t + w)
+    return d[..., w:]
+
+
+def _dense_band_extract(p, t: int, w: int):
+    """(..., T, T) -> (..., T, 2w+1): p[t, t - w + i], zero where out of range."""
+    idx = jnp.arange(t)[:, None] + jnp.arange(-w, w + 1)[None, :]
+    valid = (idx >= 0) & (idx < t)
+    idx = jnp.clip(idx, 0, t - 1)
+    band = jnp.take_along_axis(
+        p, jnp.broadcast_to(idx, p.shape[:-2] + idx.shape), axis=-1
+    )
+    return band * valid.astype(p.dtype)
+
+
 def relative_attention(x, params, *, n_heads: int, window_size: int, attn_mask=None):
-    """Windowed relative-position self-attention on (B, C, T)."""
+    """Windowed relative-position self-attention on (B, C, T).
+
+    The learned relative terms only span +-window_size (10), so both the
+    key-logit and value contributions are computed as (T, 2w+1) bands
+    instead of the reference's (T, 2T-1) expansions (attentions.py:123-158)
+    — same math, O(T*w) instead of O(T^2) side traffic."""
     b, c, t = x.shape
     dk = c // n_heads
+    w = window_size
     q = conv1d(x, params["q"]["w"], params["q"]["b"])
     k = conv1d(x, params["k"]["w"], params["k"]["b"])
     v = conv1d(x, params["v"]["w"], params["v"]["b"])
@@ -116,21 +146,27 @@ def relative_attention(x, params, *, n_heads: int, window_size: int, attn_mask=N
     scale = 1.0 / math.sqrt(dk)
     scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
 
-    rel_k = _window_rel_embeddings(
-        params["emb_rel_k"].astype(x.dtype), t, window_size
-    )
-    rel_logits = jnp.einsum("bhtd,xrd->bhtr", q * scale, rel_k)
-    scores = scores + _rel_to_abs(rel_logits)
+    if t > w:
+        rel_k = params["emb_rel_k"].astype(x.dtype)  # (1, 2w+1, dk)
+        band = jnp.einsum("bhtd,xrd->bhtr", q * scale, rel_k)
+        scores = scores + _band_to_dense(band, t, w)
+    else:  # tiny sequences: reference-style full expansion
+        rel_k = _window_rel_embeddings(params["emb_rel_k"].astype(x.dtype), t, w)
+        rel_logits = jnp.einsum("bhtd,xrd->bhtr", q * scale, rel_k)
+        scores = scores + _rel_to_abs(rel_logits)
 
     if attn_mask is not None:
         scores = jnp.where(attn_mask == 0, jnp.asarray(-1e4, scores.dtype), scores)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bhsd->bhtd", p, v)
 
-    rel_v = _window_rel_embeddings(
-        params["emb_rel_v"].astype(x.dtype), t, window_size
-    )
-    out = out + jnp.einsum("bhtr,xrd->bhtd", _abs_to_rel(p), rel_v)
+    if t > w:
+        rel_v = params["emb_rel_v"].astype(x.dtype)  # (1, 2w+1, dk)
+        p_band = _dense_band_extract(p, t, w)
+        out = out + jnp.einsum("bhtr,xrd->bhtd", p_band, rel_v)
+    else:
+        rel_v = _window_rel_embeddings(params["emb_rel_v"].astype(x.dtype), t, w)
+        out = out + jnp.einsum("bhtr,xrd->bhtd", _abs_to_rel(p), rel_v)
 
     out = out.swapaxes(2, 3).reshape(b, c, t)
     return conv1d(out, params["o"]["w"], params["o"]["b"])

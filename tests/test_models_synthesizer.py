@@ -146,3 +146,68 @@ def test_synthesizer_mask_zeroes_padding(tiny_model):
     np.testing.assert_allclose(
         out_pad[:, :-margin], out_ref[:, :-margin], rtol=1e-3, atol=1e-4
     )
+
+
+def test_banded_rel_helpers_match_dense(rng):
+    from polgen_rvc_tpu.models.synthesizer import _band_to_dense, _dense_band_extract
+
+    t, w = 9, 3
+    band = rng.standard_normal((2, t, 2 * w + 1)).astype(np.float32)
+    got = np.asarray(_band_to_dense(jnp.asarray(band), t, w))
+    want = np.zeros((2, t, t), np.float32)
+    for ti in range(t):
+        for s in range(t):
+            d = s - ti
+            if -w <= d <= w:
+                want[:, ti, s] = band[:, ti, d + w]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    p = rng.standard_normal((2, t, t)).astype(np.float32)
+    got_b = np.asarray(_dense_band_extract(jnp.asarray(p), t, w))
+    want_b = np.zeros((2, t, 2 * w + 1), np.float32)
+    for ti in range(t):
+        for i in range(2 * w + 1):
+            s = ti - w + i
+            if 0 <= s < t:
+                want_b[:, ti, i] = p[:, ti, s]
+    np.testing.assert_allclose(got_b, want_b, atol=1e-6)
+
+
+def test_banded_attention_matches_expansion_path(rng, tiny_model):
+    """T>w (banded) must equal the reference-style expansion (T<=w path)
+    computed via the textbook helpers on the same inputs."""
+    from polgen_rvc_tpu.models.synthesizer import (
+        _abs_to_rel, _rel_to_abs, _window_rel_embeddings, relative_attention,
+    )
+    import math as m
+
+    cfg, params = tiny_model
+    lp = params["enc_p"]["encoder"][0]["attn"]
+    b, c, t = 1, cfg.hidden_channels, 24  # t > window (10)
+    x = jnp.asarray(rng.standard_normal((b, c, t)).astype(np.float32))
+    mask = jnp.ones((b, 1, t, t), jnp.float32)
+
+    got = np.asarray(
+        relative_attention(x, lp, n_heads=cfg.n_heads, window_size=10,
+                           attn_mask=mask)
+    )
+
+    # reference-style expansion computed manually
+    from polgen_rvc_tpu.ops.conv import conv1d as _c
+
+    dk = c // cfg.n_heads
+    q = _c(x, lp["q"]["w"], lp["q"]["b"]).reshape(b, cfg.n_heads, dk, t).swapaxes(2, 3)
+    k = _c(x, lp["k"]["w"], lp["k"]["b"]).reshape(b, cfg.n_heads, dk, t).swapaxes(2, 3)
+    v = _c(x, lp["v"]["w"], lp["v"]["b"]).reshape(b, cfg.n_heads, dk, t).swapaxes(2, 3)
+    scale = 1.0 / m.sqrt(dk)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
+    rel_k = _window_rel_embeddings(jnp.asarray(lp["emb_rel_k"]), t, 10)
+    scores = scores + _rel_to_abs(jnp.einsum("bhtd,xrd->bhtr", q * scale, rel_k))
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", p, v)
+    rel_v = _window_rel_embeddings(jnp.asarray(lp["emb_rel_v"]), t, 10)
+    out = out + jnp.einsum("bhtr,xrd->bhtd", _abs_to_rel(p), rel_v)
+    out = out.swapaxes(2, 3).reshape(b, c, t)
+    want = np.asarray(_c(out, lp["o"]["w"], lp["o"]["b"]))
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
