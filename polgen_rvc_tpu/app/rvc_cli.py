@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-f0min", "--f0_min", type=int, default=50)
     parser.add_argument("-f0max", "--f0_max", type=int, default=1100)
     parser.add_argument("-f", "--format", type=str, default="mp3")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
     return parser
 
 
@@ -35,6 +37,7 @@ def main(argv=None):
 
     from .voice_conversion import RVC_MODELS_DIR, voice_pipeline
     from ..utils.progress import ProgressReporter
+    from ..utils.tracing import maybe_profile
 
     if not os.path.exists(os.path.join(RVC_MODELS_DIR, args.model_name)):
         raise SystemExit(
@@ -42,21 +45,22 @@ def main(argv=None):
             "check the name.\033[0m"
         )
 
-    cover_path = voice_pipeline(
-        uploaded_file=args.song_input,
-        voice_model=args.model_name,
-        pitch=args.pitch,
-        index_rate=args.index_rate,
-        filter_radius=args.filter_radius,
-        volume_envelope=args.volume_envelope,
-        f0_method=args.method,
-        hop_length=args.hop_length,
-        protect=args.protect,
-        f0_min=args.f0_min,
-        f0_max=args.f0_max,
-        output_format=args.format,
-        progress=ProgressReporter(),
-    )
+    with maybe_profile(args.profile):
+        cover_path = voice_pipeline(
+            uploaded_file=args.song_input,
+            voice_model=args.model_name,
+            pitch=args.pitch,
+            index_rate=args.index_rate,
+            filter_radius=args.filter_radius,
+            volume_envelope=args.volume_envelope,
+            f0_method=args.method,
+            hop_length=args.hop_length,
+            protect=args.protect,
+            f0_min=args.f0_min,
+            f0_max=args.f0_max,
+            output_format=args.format,
+            progress=ProgressReporter(),
+        )
     print(f"\033[1;92m\nVoice replaced successfully: {cover_path}\033[0m")
 
 

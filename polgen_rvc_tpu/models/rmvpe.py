@@ -86,14 +86,15 @@ def _avg_pool_2x2(x):
     return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
 
 
-def rmvpe_salience(params, mel, *, use_pallas: bool = False):
+def rmvpe_salience(params, mel, *, use_pallas: bool = False,
+                   compute_dtype=jnp.float32):
     """(B, 128, T) log-mel -> (B, T, 360) sigmoid salience (E2E.forward).
 
     T must be a multiple of 32 (five 2x poolings); callers pad reflect.
-    use_pallas runs the BiGRU as a single in-kernel scan (TPU: the
-    lax.scan step overhead dominates the whole F0 pass otherwise).
+    compute_dtype=bfloat16 mirrors the reference's is_half fp16 mode
+    (RMVPE.py:456-457); the GRU/head stay fp32.
     """
-    x = mel.swapaxes(1, 2)[:, None]  # (B, 1, T, 128)
+    x = mel.astype(compute_dtype).swapaxes(1, 2)[:, None]  # (B, 1, T, 128)
     # input BatchNorm (Encoder.bn) folded to an affine transform
     inb = params["in_bn"]
     x = x * inb["scale"].astype(x.dtype) + inb["shift"].astype(x.dtype)
@@ -118,7 +119,7 @@ def rmvpe_salience(params, mel, *, use_pallas: bool = False):
 
     x = conv2d(x, params["cnn"]["w"], params["cnn"]["b"], padding=1)  # (B,3,T,128)
     b, c, t, m = x.shape
-    x = x.swapaxes(1, 2).reshape(b, t, c * m)  # (B, T, 384)
+    x = x.astype(jnp.float32).swapaxes(1, 2).reshape(b, t, c * m)  # (B, T, 384)
 
     if use_pallas and x.shape[0] == 1:
         from ..ops.pallas_gru import bigru_pallas

@@ -335,15 +335,20 @@ def synthesizer_infer(
 
     m_p, logs_p = text_encoder(params["enc_p"], cfg, phone, pitch, x_mask)
 
+    # latent sampling stays fp32 regardless of compute dtype: exp(logs)+noise
+    # in bf16 costs ~2.4 dB mel distortion; fp32 here costs nothing and the
+    # rest of the graph in bf16 lands at ~0.1 dB (see tests/test_quality.py)
+    m_p32 = m_p.astype(jnp.float32)
+    logs_p32 = logs_p.astype(jnp.float32)
     if rng is not None:
         k_lat, k_nsf = jax.random.split(rng)
-        eps = jax.random.normal(k_lat, m_p.shape, compute_dtype)
+        eps = jax.random.normal(k_lat, m_p.shape, jnp.float32)
     else:
         k_nsf = None
-        eps = jnp.zeros_like(m_p)
-    z_p = (m_p + jnp.exp(logs_p) * eps * noise_scale) * x_mask
+        eps = jnp.zeros_like(m_p32)
+    z_p = (m_p32 + jnp.exp(logs_p32) * eps * noise_scale) * x_mask.astype(jnp.float32)
 
-    z = flow_reverse(params["flow"], cfg, z_p, x_mask, g)
+    z = flow_reverse(params["flow"], cfg, z_p.astype(compute_dtype), x_mask, g)
     z = z * x_mask
 
     if cfg.use_f0:

@@ -162,8 +162,11 @@ class VoiceConverter:
             # mel + U-Net + decode fuse into ONE graph: eager mel dispatch
             # is tunnel-latency-bound in this environment
             # measured on v5e: the Pallas U-Net/GRU paths do NOT beat XLA for
-            # RMVPE (C=16..64 stages can't fill the MXU either way); keep XLA
+            # RMVPE (C=16..64 stages can't fill the MXU either way) and bf16
+            # gives no speedup but risks argmax flips in the cents decode —
+            # keep the F0 pass XLA + fp32
             use_pallas = False
+            cdt = jnp.float32
 
             @jax.jit
             def fn(params, audio, threshold):
@@ -172,7 +175,9 @@ class VoiceConverter:
                 pad = (-n) % 32
                 if pad:
                     mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
-                sal = rmvpe_salience(params, mel, use_pallas=use_pallas)[:, :n]
+                sal = rmvpe_salience(
+                    params, mel, use_pallas=use_pallas, compute_dtype=cdt
+                )[:, :n]
                 return salience_to_f0(sal.astype(jnp.float32), threshold)
 
             self._f0_fns[samples_bucket] = fn
