@@ -16,7 +16,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -24,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.hubert import HubertConfig, hubert_extract
-from ..models.rmvpe import pad_frames_to_32, rmvpe_mel, rmvpe_salience
+from ..models.rmvpe import rmvpe_mel, rmvpe_salience
 from ..models.synthesizer import SynthesizerConfig, synthesizer_infer
 from ..ops.f0_utils import salience_to_f0
 from ..ops.filters import highpass_filtfilt
@@ -498,8 +497,11 @@ class VoiceConverter:
             # envelope transfer, normalize, int16 — one graph, one fetch
             progress(0.92, "finalizing on device")
             row_len = pending[0][0].shape[1]
-            l16b = int(np.ceil(audio.shape[0] / (60 * 16000))) * 60 * 16000
-            l48b = int(np.ceil(total_out / (60 * self.tgt_sr))) * 60 * self.tgt_sr
+            # 15 s buckets: bounded compile count, little wasted compute
+            l16b = int(np.ceil(audio.shape[0] / (15 * 16000))) * 15 * 16000
+            l48b = (
+                int(np.ceil(total_out / (15 * self.tgt_sr))) * 15 * self.tgt_sr
+            )
             fin = self._finalize_fn(
                 len(pending), eng.chunk_batch, row_len, l16b, l48b
             )
