@@ -189,22 +189,39 @@ def ffn(x, x_mask, params, *, kernel_size: int):
 
 
 def transformer_encoder(
-    x, x_mask, layers, *, n_heads: int, window_size: int, kernel_size: int
+    x, x_mask, layers, *, n_heads: int, window_size: int, kernel_size: int,
+    use_flash: bool = False
 ):
-    """Stack of rel-attention + FFN blocks with post-LN residuals."""
-    attn_mask = x_mask[:, :, None, :] * x_mask[:, :, :, None]  # (B,1,T,T)
+    """Stack of rel-attention + FFN blocks with post-LN residuals.
+
+    use_flash (TPU, large T): streams the content term through the Pallas
+    flash kernel instead of materializing (T, T) scores — equivalent math
+    (ops/flash_relattn.py), contiguous-prefix masks via segment ids."""
+    attn_mask = None
+    if not use_flash:
+        attn_mask = x_mask[:, :, None, :] * x_mask[:, :, :, None]  # (B,1,T,T)
     x = x * x_mask
     for lp in layers:
-        y = relative_attention(
-            x, lp["attn"], n_heads=n_heads, window_size=window_size, attn_mask=attn_mask
-        )
+        if use_flash:
+            from ..ops.flash_relattn import relative_attention_flash
+
+            y = relative_attention_flash(
+                x, lp["attn"], n_heads=n_heads, window_size=window_size,
+                frame_mask=x_mask,
+            )
+        else:
+            y = relative_attention(
+                x, lp["attn"], n_heads=n_heads, window_size=window_size,
+                attn_mask=attn_mask,
+            )
         x = layer_norm_channels(x + y, lp["norm1"]["gamma"], lp["norm1"]["beta"])
         y = ffn(x, x_mask, lp["ffn"], kernel_size=kernel_size)
         x = layer_norm_channels(x + y, lp["norm2"]["gamma"], lp["norm2"]["beta"])
     return x * x_mask
 
 
-def text_encoder(params, cfg: SynthesizerConfig, phone, pitch, x_mask):
+def text_encoder(params, cfg: SynthesizerConfig, phone, pitch, x_mask,
+                 *, use_flash: bool = False):
     """enc_p: features(+pitch emb) -> (m_p, logs_p) (encoders.py:76-126).
 
     phone: (B, T, input_dim); pitch: (B, T) int32 coarse bins or None;
@@ -224,6 +241,7 @@ def text_encoder(params, cfg: SynthesizerConfig, phone, pitch, x_mask):
         n_heads=cfg.n_heads,
         window_size=10,
         kernel_size=cfg.kernel_size,
+        use_flash=use_flash,
     )
     stats = conv1d(x, params["proj"]["w"], params["proj"]["b"]) * x_mask
     m, logs = jnp.split(stats, 2, axis=1)
@@ -333,7 +351,13 @@ def synthesizer_infer(
     sid = jnp.atleast_1d(jnp.asarray(sid, jnp.int32))
     g = jnp.asarray(params["emb_g"], compute_dtype)[sid][:, :, None]  # (B, gin, 1)
 
-    m_p, logs_p = text_encoder(params["enc_p"], cfg, phone, pitch, x_mask)
+    # flash path validated on-device (tools/validate_flash_attention.py) but
+    # only ~10% faster than the banded path — the materialized ab bias eats
+    # the streaming win. Off until the band bias is generated in-kernel.
+    use_flash = False
+    m_p, logs_p = text_encoder(
+        params["enc_p"], cfg, phone, pitch, x_mask, use_flash=use_flash
+    )
 
     # latent sampling stays fp32 regardless of compute dtype: exp(logs)+noise
     # in bf16 costs ~2.4 dB mel distortion; fp32 here costs nothing and the

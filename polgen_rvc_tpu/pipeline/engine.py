@@ -303,6 +303,29 @@ class VoiceConverter:
         self._chunk_fns[key] = (fn, p_len)
         return self._chunk_fns[key]
 
+    def convert_batch(
+        self,
+        audios: list,
+        opts: "ConversionOptions" = None,
+        progress: ProgressReporter = NULL_PROGRESS,
+    ) -> list:
+        """Batch cover generation: convert several songs back-to-back.
+
+        All songs share the compiled graph cache and device-resident
+        weights, so per-song cost after the first is pure compute (the
+        reference reloads every model per request). On a multi-host
+        deployment, shard the song list across hosts (each host runs its
+        own converter over its ICI mesh; songs are independent, so the
+        only DCN traffic is the work split — SURVEY §2.2's scaling axis).
+        """
+        opts = opts or ConversionOptions()
+        results = []
+        for i, audio in enumerate(audios):
+            progress(i / max(len(audios), 1), f"song {i + 1}/{len(audios)}")
+            results.append(self.convert(np.asarray(audio), opts))
+        progress(1.0, "batch done")
+        return results
+
     # ------------------------------------------------------------------
     # device-side finalization: trim + concat + RMS mix + normalize + int16
     # ------------------------------------------------------------------

@@ -135,3 +135,12 @@ def test_rms_change_identity():
     tgt = _song(1.0, seed=9)
     out = change_rms_np(src, 16000, tgt.copy(), 16000, 1.0)
     np.testing.assert_allclose(out, tgt, rtol=1e-6)  # rate=1 keeps target
+
+
+def test_convert_batch_shares_graphs(converter):
+    songs = [_song(2.0, seed=21), _song(3.0, seed=22)]
+    outs = converter.convert_batch(songs, ConversionOptions())
+    assert len(outs) == 2
+    for (out, sr), seconds in zip(outs, (2.0, 3.0)):
+        assert sr == 48000
+        assert abs(len(out) - seconds * 48000) < 48000 // 2
