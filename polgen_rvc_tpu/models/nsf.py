@@ -169,13 +169,17 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
         ]
         if use_pallas and x.shape[1] <= 128:
             # fused Pallas path: the low-channel stages run ~6% MXU util
-            # under XLA's conv lowering (see ops/pallas_resblock.py)
+            # under XLA's conv lowering (see ops/pallas_resblock.py).
+            # Wider time tiles at low C cut the halo-recompute fraction
+            # (VMEM-bounded: weights+im2col scale with C)
             from ..ops.pallas_resblock import fused_resblock_group
 
+            tile = 2048 if x.shape[1] <= 32 else 1024 if x.shape[1] <= 64 else 512
             x = fused_resblock_group(
                 x, stage_params,
                 kernel_sizes=[k for k, _ in kd],
                 dilations=[d for _, d in kd],
+                time_tile=tile,
             )
         elif use_pallas and x.shape[1] <= 256:
             # C=256: one resblock's weights fit VMEM, all three don't —
