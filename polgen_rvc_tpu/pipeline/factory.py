@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -26,10 +27,24 @@ def build_converter(
     engine: EngineConfig = EngineConfig(),
     mesh=None,
 ) -> VoiceConverter:
-    """Load real checkpoints (one-time host conversion) into an engine."""
-    synth_cfg, synth_params, _ = load_rvc_checkpoint(rvc_path)
-    hub_cfg, hub_params = load_hubert_checkpoint(hubert_path)
-    rmvpe_params = load_rmvpe_checkpoint(rmvpe_path) if rmvpe_path else None
+    """Load real checkpoints (one-time host conversion) into an engine.
+
+    If the model directory holds an orbax export (convert.export), weights
+    load from it directly — no torch required at serving time."""
+    from ..convert.export import has_export, load_exported
+
+    model_dir = os.path.dirname(os.path.abspath(rvc_path))
+    if has_export(model_dir):
+        synth_cfg, synth_params, hub_cfg, hub_params, rmvpe_exp = (
+            load_exported(model_dir)
+        )
+        rmvpe_params = rmvpe_exp or (
+            load_rmvpe_checkpoint(rmvpe_path) if rmvpe_path else None
+        )
+    else:
+        synth_cfg, synth_params, _ = load_rvc_checkpoint(rvc_path)
+        hub_cfg, hub_params = load_hubert_checkpoint(hubert_path)
+        rmvpe_params = load_rmvpe_checkpoint(rmvpe_path) if rmvpe_path else None
     bank = load_index_bank(index_path) if index_path else None
     crepe_params = None
     if crepe_path:

@@ -57,3 +57,44 @@ def test_faiss_sparse_lists(rng, tmp_path):
     write_ivf_flat(path, vecs, cents, assign)
     idx = read_faiss_index(path)
     np.testing.assert_array_equal(idx.vectors, vecs)
+
+
+def test_orbax_export_roundtrip(tmp_path):
+    """Converted weights export to orbax and reload torch-free."""
+    import torch
+
+    from polgen_rvc_tpu.convert.export import (
+        export_converted, has_export, load_exported,
+    )
+    from polgen_rvc_tpu.convert.synthetic import (
+        make_hubert_state, make_rmvpe_state, make_rvc_checkpoint,
+    )
+
+    model_dir = tmp_path / "Voice"
+    model_dir.mkdir()
+    t = lambda sd: {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    cpt = make_rvc_checkpoint(sr=48000, tiny=True)
+    torch.save({"config": cpt["config"], "weight": t(cpt["weight"]),
+                "f0": cpt["f0"], "version": cpt["version"]},
+               str(model_dir / "v.pth"))
+    _, hsd = make_hubert_state(tiny=True)
+    hub_path = str(tmp_path / "hubert_base.pt")
+    torch.save({"model": t(hsd)}, hub_path)
+    rmvpe_path = str(tmp_path / "rmvpe.pt")
+    torch.save(t(make_rmvpe_state()), rmvpe_path)
+
+    assert not has_export(str(model_dir))
+    out = export_converted(str(model_dir), hub_path, rmvpe_path)
+    assert has_export(str(model_dir))
+
+    scfg, synth, hcfg, hub, rmvpe = load_exported(str(model_dir))
+    assert scfg.sr == 48000 and scfg.input_dim == 768
+    assert hcfg.n_layers == 3
+    assert rmvpe is not None
+    # spot-check a leaf matches the direct conversion
+    from polgen_rvc_tpu.convert.rvc_ckpt import load_rvc_checkpoint
+
+    _, direct, _ = load_rvc_checkpoint(str(model_dir / "v.pth"))
+    np.testing.assert_allclose(
+        np.asarray(synth["emb_g"]), np.asarray(direct["emb_g"]), atol=1e-6
+    )
