@@ -14,8 +14,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="Synthesize speech and replace the voice; output in output/",
         add_help=True,
     )
-    parser.add_argument("-t", "--text", type=str, required=True)
-    parser.add_argument("-v", "--voice", type=str, required=True)
+    # Exact reference flags (-i/--text_input, -v/--tts_voice); the previous
+    # round's -t/--text and --voice spellings are kept as aliases.
+    parser.add_argument("-i", "--text_input", "-t", "--text",
+                        dest="text_input", type=str, required=True)
+    parser.add_argument("-v", "--tts_voice", "--voice",
+                        dest="tts_voice", type=str, required=True)
     parser.add_argument("-m", "--model_name", type=str, required=True)
     parser.add_argument("-p", "--pitch", type=float, required=True)
     parser.add_argument("-ir", "--index_rate", type=float, default=0)
@@ -44,9 +48,9 @@ def main(argv=None):
         )
 
     converted, _tts = edge_tts_pipeline(
-        text=args.text,
+        text=args.text_input,
         voice_model=args.model_name,
-        voice=args.voice,
+        voice=args.tts_voice,
         pitch=args.pitch,
         index_rate=args.index_rate,
         filter_radius=args.filter_radius,

@@ -1,9 +1,11 @@
-"""App launcher: python -m polgen_rvc_tpu.app.main [--port N] [--open] [--share]
+"""App launcher: python -m polgen_rvc_tpu.app.main [--port N] [--open] [--listen]
 
 Mirrors the reference launcher semantics (app.py:46-77): default port 7860,
 --port override, --open launches a browser, port-retry loop decrementing on
 bind failure. --share (a public gradio tunnel in the reference) has no
 dependency-free equivalent; it is accepted and reported as unavailable.
+Binds 127.0.0.1 unless --listen is given (the API accepts filesystem paths,
+so external exposure is opt-in).
 """
 
 from __future__ import annotations
@@ -31,12 +33,13 @@ def main(argv=None):
     if "--share" in argv:
         print("[!] --share is not supported in this build (no tunnel service); "
               "serving locally only")
+    host = "0.0.0.0" if "--listen" in argv else "127.0.0.1"
     port = get_port_from_args(argv)
     for _ in range(MAX_PORT_ATTEMPTS):
         try:
             if "--open" in argv:
                 webbrowser.open(f"http://localhost:{port}")
-            serve(port)
+            serve(port, host=host)
             break
         except OSError:
             print(f"could not bind port {port}, retrying on port {port - 1}...")

@@ -32,12 +32,29 @@ def get_folders(models_dir: str = RVC_MODELS_DIR) -> list[str]:
     ]
 
 
+def _safe_model_dir(models_dir: str, dir_name: str) -> str:
+    """Join dir_name under models_dir, rejecting traversal — dir_name comes
+    from HTTP requests, so '../x' must not escape the models directory."""
+    if (not dir_name or any(sep in dir_name for sep in ("/", "\\"))
+            or dir_name in (".", "..")):
+        raise ModelInstallError(f"invalid model name {dir_name!r}")
+    path = os.path.realpath(os.path.join(models_dir, dir_name))
+    if os.path.dirname(path) != os.path.realpath(models_dir):
+        raise ModelInstallError(f"invalid model name {dir_name!r}")
+    return path
+
+
 def extract_zip(extraction_folder: str, zip_name: str,
                 *, min_pth_bytes: int = 1024 * 1024 * 40,
                 min_index_bytes: int = 1024 * 100):
     """Unpack + locate model files + flatten (model_manager.py:29-78)."""
     os.makedirs(extraction_folder, exist_ok=True)
+    root_real = os.path.realpath(extraction_folder)
     with zipfile.ZipFile(zip_name, "r") as zf:
+        for member in zf.namelist():
+            dest = os.path.realpath(os.path.join(extraction_folder, member))
+            if dest != root_real and not dest.startswith(root_real + os.sep):
+                raise ModelInstallError(f"zip entry escapes target: {member}")
         zf.extractall(extraction_folder)
     os.remove(zip_name)
 
@@ -82,8 +99,8 @@ def _guard_duplicate(extraction_folder: str, dir_name: str):
 def download_from_url(url: str, dir_name: str, progress=NULL_PROGRESS,
                       models_dir: str = RVC_MODELS_DIR) -> str:
     os.makedirs(models_dir, exist_ok=True)
-    zip_name = os.path.join(models_dir, dir_name + ".zip")
-    extraction_folder = os.path.join(models_dir, dir_name)
+    extraction_folder = _safe_model_dir(models_dir, dir_name)
+    zip_name = extraction_folder + ".zip"
     _guard_duplicate(extraction_folder, dir_name)
     progress(0.0, f"downloading voice model {dir_name}")
     download_file(url, zip_name, progress)
@@ -94,7 +111,7 @@ def download_from_url(url: str, dir_name: str, progress=NULL_PROGRESS,
 
 def upload_zip_file(zip_path: str, dir_name: str, progress=NULL_PROGRESS,
                     models_dir: str = RVC_MODELS_DIR) -> str:
-    extraction_folder = os.path.join(models_dir, dir_name)
+    extraction_folder = _safe_model_dir(models_dir, dir_name)
     _guard_duplicate(extraction_folder, dir_name)
     progress(0.8, "unpacking zip")
     extract_zip(extraction_folder, zip_path)
@@ -104,7 +121,7 @@ def upload_zip_file(zip_path: str, dir_name: str, progress=NULL_PROGRESS,
 def upload_separate_files(pth_file: str | None, index_file: str | None,
                           dir_name: str, progress=NULL_PROGRESS,
                           models_dir: str = RVC_MODELS_DIR) -> str:
-    extraction_folder = os.path.join(models_dir, dir_name)
+    extraction_folder = _safe_model_dir(models_dir, dir_name)
     _guard_duplicate(extraction_folder, dir_name)
     os.makedirs(extraction_folder, exist_ok=True)
     if pth_file:

@@ -35,17 +35,23 @@ _STATIC_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 class JobStore:
-    """Background jobs with polled progress (the web answer to gr.Progress)."""
+    """Background jobs with polled progress (the web answer to gr.Progress).
+
+    Pipeline jobs are serialized on one lock — they write fixed output
+    filenames (output/Voice_Converted.<fmt>), so two concurrent conversions
+    would clobber each other's artifacts. The reference's Gradio queue gives
+    the same one-at-a-time semantics."""
 
     def __init__(self):
         self._jobs: dict[str, dict] = {}
         self._lock = threading.Lock()
+        self._pipeline_lock = threading.Lock()
 
-    def start(self, fn, *args, **kwargs) -> str:
+    def start(self, fn, *args, serialize: bool = True, **kwargs) -> str:
         job_id = uuid.uuid4().hex[:12]
         with self._lock:
-            self._jobs[job_id] = {"status": "running", "progress": 0.0,
-                                  "message": "starting", "result": None,
+            self._jobs[job_id] = {"status": "queued", "progress": 0.0,
+                                  "message": "queued", "result": None,
                                   "error": None}
 
         def progress_sink(fraction, message):
@@ -53,7 +59,9 @@ class JobStore:
                 self._jobs[job_id]["progress"] = float(fraction)
                 self._jobs[job_id]["message"] = str(message)
 
-        def run():
+        def run_inner():
+            with self._lock:
+                self._jobs[job_id].update(status="running", message="starting")
             try:
                 result = fn(*args, progress=ProgressReporter(progress_sink),
                             **kwargs)
@@ -64,6 +72,13 @@ class JobStore:
                 traceback.print_exc()
                 with self._lock:
                     self._jobs[job_id].update(status="error", error=str(e))
+
+        def run():
+            if serialize:
+                with self._pipeline_lock:
+                    run_inner()
+            else:
+                run_inner()
 
         threading.Thread(target=run, daemon=True).start()
         return job_id
@@ -262,7 +277,11 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"error": str(e)}, code=400)
 
 
-def serve(port: int = 7860):
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"PolGen-RVC-TPU UI on http://localhost:{port}")
+def serve(port: int = 7860, host: str = "127.0.0.1"):
+    """Serve the UI. Binds loopback by default (the reference's Gradio app
+    also binds localhost unless --share); pass host="0.0.0.0" only behind
+    an explicit --listen opt-in — the API accepts filesystem paths and
+    installs models, so it must not be network-reachable by default."""
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"PolGen-RVC-TPU UI on http://{host}:{port}")
     httpd.serve_forever()

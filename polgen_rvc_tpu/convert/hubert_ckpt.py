@@ -28,12 +28,32 @@ class _Stub:
         self.__dict__.update(state if isinstance(state, dict) else {})
 
 
+# Only these globals may resolve to real callables during checkpoint load;
+# anything else (fairseq/omegaconf configs, but also anything malicious a
+# crafted upload could smuggle in) becomes an inert _Stub. Tensor data flows
+# through torch's persistent-id storage path, which does not use find_class,
+# so this list is all a state dict needs.
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"),
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_parameter"),
+    ("torch._utils", "_rebuild_sparse_tensor"),
+    ("torch.serialization", "_get_layout"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+}
+
+
 class _TolerantUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        try:
+        if (module, name) in _SAFE_GLOBALS or (
+            module == "torch" and name.endswith("Storage")
+        ):
             return super().find_class(module, name)
-        except (ImportError, AttributeError):
-            return _Stub
+        return _Stub
 
 
 def _tolerant_torch_load(path: str):
@@ -54,7 +74,28 @@ class _TolerantPickleModule:
 _STANDARD_STRIDES = (5, 2, 2, 2, 2, 2, 2)
 
 
-def infer_hubert_config(sd: dict) -> HubertConfig:
+def _find_encoder_heads(obj, depth: int = 0):
+    """Recover encoder_attention_heads from fairseq checkpoint metadata
+    (ckpt["cfg"]/ckpt["args"], possibly stubbed objects that kept __dict__)."""
+    if depth > 6:
+        return None
+    if isinstance(obj, dict):
+        items = obj.items()
+    elif isinstance(obj, _Stub) or hasattr(obj, "__dict__"):
+        items = vars(obj).items()
+    else:
+        return None
+    for k, v in items:
+        if k == "encoder_attention_heads" and isinstance(v, int) and v > 0:
+            return v
+    for _, v in items:
+        found = _find_encoder_heads(v, depth + 1)
+        if found:
+            return found
+    return None
+
+
+def infer_hubert_config(sd: dict, *, n_heads: int | None = None) -> HubertConfig:
     """Derive the architecture from state-dict shapes.
 
     Strides are not serialized; the standard wav2vec2/HuBERT stride schedule
@@ -74,7 +115,19 @@ def infer_hubert_config(sd: dict) -> HubertConfig:
     while f"encoder.layers.{n_layers}.self_attn.q_proj.weight" in sd:
         n_layers += 1
     embed_dim = int(sd["post_extract_proj.weight"].shape[0])
-    n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if embed_dim % h == 0)
+    # Head count is not in the state dict; prefer the checkpoint's own
+    # metadata (n_heads arg, recovered from cfg/args by the loader), then map
+    # the known embedder families rather than guessing a divisor (a 1024-dim
+    # HuBERT-large has 16 heads, not the first divisor that fits) — unknown
+    # dims must fail loudly, not run with wrong attention.
+    _HEADS_BY_DIM = {768: 12, 1024: 16, 512: 8}
+    if n_heads is None:
+        n_heads = _HEADS_BY_DIM.get(embed_dim)
+    if n_heads is None or embed_dim % n_heads:
+        raise ValueError(
+            f"unknown HuBERT embed_dim {embed_dim}: cannot infer head count; "
+            "pass an explicit HubertConfig to convert_hubert_state"
+        )
     if "encoder.pos_conv.0.weight_v" in sd:
         pv = sd["encoder.pos_conv.0.weight_v"]
     else:
@@ -148,5 +201,8 @@ def load_hubert_checkpoint(path: str):
     the state dict so alternate embedders (contentvec etc.) load too."""
     ckpt = _tolerant_torch_load(path)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
-    cfg = infer_hubert_config(sd)
+    heads = _find_encoder_heads(
+        {k: v for k, v in ckpt.items() if k in ("cfg", "args")}
+    ) if isinstance(ckpt, dict) else None
+    cfg = infer_hubert_config(sd, n_heads=heads)
     return cfg, convert_hubert_state(sd, cfg)

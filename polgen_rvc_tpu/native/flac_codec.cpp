@@ -196,6 +196,7 @@ int polgen_flac_probe(const uint8_t* data, int64_t size, int64_t* total_samples,
     int type = hdr & 0x7F;
     uint32_t len = (data[pos + 1] << 16) | (data[pos + 2] << 8) | data[pos + 3];
     pos += 4;
+    if (pos + len > (size_t)size) return -1;  // truncated metadata block
     if (type == 0 && len >= 34) {
       const uint8_t* p = data + pos;
       si.sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);
@@ -254,6 +255,10 @@ int polgen_flac_read(const uint8_t* data, int64_t size, int64_t frame_offset,
     else if (ch_code == 9) { nch = 2; right_side = true; }
     else if (ch_code == 10) { nch = 2; mid_side = true; }
     else return -5;
+    // The per-frame channel assignment must agree with STREAMINFO (which
+    // sized `ch` and the caller's out buffer); a corrupt/crafted frame must
+    // not index past them.
+    if (nch != channels) return -5;
 
     for (int c = 0; c < nch; c++) {
       ch[c].assign(block, 0);

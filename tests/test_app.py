@@ -70,10 +70,66 @@ def test_cli_parsers_match_reference_defaults():
 
     from polgen_rvc_tpu.app.edge_tts_cli import build_parser as tts_parser
 
+    # reference spelling (-i/--text_input, -v/--tts_voice)
     args2 = tts_parser().parse_args(
-        ["-t", "hi", "-v", "en-US-GuyNeural", "-m", "model", "-p", "0"]
+        ["-i", "hi", "-v", "en-US-GuyNeural", "-m", "model", "-p", "0"]
     )
+    assert args2.text_input == "hi" and args2.tts_voice == "en-US-GuyNeural"
     assert args2.method == "rmvpe+" and args2.format == "mp3"
+    # round-1 alias spelling still accepted
+    args3 = tts_parser().parse_args(
+        ["-t", "hi", "--voice", "en-US-GuyNeural", "-m", "model", "-p", "0"]
+    )
+    assert args3.text_input == "hi" and args3.tts_voice == "en-US-GuyNeural"
+
+
+def _reference_flag_surface(path):
+    """Extract (option_strings, default) per add_argument call from a
+    reference CLI source file."""
+    import ast
+
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    out = []
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"):
+            opts = tuple(a.value for a in node.args
+                         if isinstance(a, ast.Constant))
+            kw = {k.arg: getattr(k.value, "value", None)
+                  for k in node.keywords if k.arg in ("default", "required")}
+            out.append((opts, kw))
+    return out
+
+
+@pytest.mark.parametrize("ref,ours", [
+    ("/root/reference/rvc/cli/rvc_cli.py", "polgen_rvc_tpu.app.rvc_cli"),
+    ("/root/reference/rvc/cli/edge_tts_cli.py", "polgen_rvc_tpu.app.edge_tts_cli"),
+])
+def test_cli_flags_match_reference_surface(ref, ours):
+    """Every reference option string must be accepted by our parser, with the
+    same default (VERDICT r1 missing #5)."""
+    import importlib
+
+    if not os.path.exists(ref):
+        pytest.skip("reference not available")
+    parser = importlib.import_module(ours).build_parser()
+    our_actions = {opt: a for a in parser._actions for opt in a.option_strings}
+    for opts, kw in _reference_flag_surface(ref):
+        for opt in opts:
+            assert opt in our_actions, f"missing reference flag {opt}"
+        acts = {our_actions[o] for o in opts}
+        assert len(acts) == 1, f"{opts} split across actions"
+        act = acts.pop()
+        if kw.get("required"):
+            assert act.required, f"{opts} should be required"
+        elif "default" in kw:
+            # reference writes some int defaults as strings ("50"); compare
+            # by value after the declared type
+            want = kw["default"]
+            got = act.default
+            assert (got == want or str(got) == str(want)), (opts, got, want)
 
 
 def test_model_manager_zip_extract(tmp_path, rng):

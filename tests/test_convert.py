@@ -79,7 +79,12 @@ def test_orbax_export_roundtrip(tmp_path):
                str(model_dir / "v.pth"))
     _, hsd = make_hubert_state(tiny=True)
     hub_path = str(tmp_path / "hubert_base.pt")
-    torch.save({"model": t(hsd)}, hub_path)
+    # real fairseq checkpoints carry the head count in their cfg/args
+    # metadata; the loader must recover it for non-standard dims
+    import argparse
+    torch.save({"model": t(hsd),
+                "args": argparse.Namespace(encoder_attention_heads=4)},
+               hub_path)
     rmvpe_path = str(tmp_path / "rmvpe.pt")
     torch.save(t(make_rmvpe_state()), rmvpe_path)
 
