@@ -1,0 +1,358 @@
+"""Parity against the actual PyTorch reference (/root/reference).
+
+The BASELINE quality gate is <0.5 dB mel distortion vs the reference's
+output. No real weights are downloadable here (zero egress), but the
+reference *code* is importable and torch is installed, so the gate is
+measured by loading identical synthetic state dicts into both stacks and
+comparing in noise-free mode (the stacks are stochastic at three sites —
+SURVEY §7.6 — so noise is zeroed on both sides):
+
+- layer-wise: enc_p / flow / NSF decoder activations on a tiny config
+- end-to-end: full-size 48k v2 synthesizer, fp32 AND the production bf16
+  policy, mel distortion vs the torch waveform
+- RMVPE: E2E salience parity + the full audio->f0 path against
+  RMVPE0Predictor (mel frontend included)
+
+Skipped wholesale if /root/reference is not present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# reference import shims: the reference imports librosa/soundfile at module
+# level but this environment has neither; librosa.filters.mel is the only
+# function actually used on the paths under test, and our own filterbank is
+# librosa-compatible (tested in test_ops_misc), so it stands in.
+# ---------------------------------------------------------------------------
+
+
+def _install_reference_stubs():
+    import types
+
+    from polgen_rvc_tpu.ops.audio import mel_filterbank
+
+    if "librosa" not in sys.modules or not hasattr(
+        sys.modules["librosa"], "_polgen_stub"
+    ):
+        lib = types.ModuleType("librosa")
+        lib._polgen_stub = True
+        lib.__path__ = []  # mark as package so librosa.util resolves
+        filters = types.ModuleType("librosa.filters")
+
+        def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, htk=False,
+                norm="slaney", dtype=np.float32):
+            return mel_filterbank(sr=sr, n_fft=n_fft, n_mels=n_mels,
+                                  fmin=fmin, fmax=fmax, htk=htk,
+                                  norm=norm, dtype=dtype)
+
+        filters.mel = mel
+        lib.filters = filters
+
+        util = types.ModuleType("librosa.util")
+
+        def pad_center(data, *, size, axis=-1, **kwargs):
+            n = data.shape[axis]
+            lpad = int((size - n) // 2)
+            lengths = [(0, 0)] * data.ndim
+            lengths[axis] = (lpad, int(size - n - lpad))
+            return np.pad(data, lengths, **kwargs)
+
+        def tiny(x):
+            return np.finfo(np.asarray(x).dtype).tiny
+
+        def normalize(S, *, norm=np.inf, axis=0):
+            if norm is np.inf or norm == np.inf:
+                length = np.max(np.abs(S), axis=axis, keepdims=True)
+            else:
+                length = np.sum(np.abs(S) ** norm, axis=axis,
+                                keepdims=True) ** (1.0 / norm)
+            length[length < tiny(S)] = 1.0
+            return S / length
+
+        util.pad_center = pad_center
+        util.tiny = tiny
+        util.normalize = normalize
+        lib.util = util
+        sys.modules["librosa"] = lib
+        sys.modules["librosa.filters"] = filters
+        sys.modules["librosa.util"] = util
+    if "soundfile" not in sys.modules:
+        sf = types.ModuleType("soundfile")
+        sf.read = sf.write = None
+        sys.modules["soundfile"] = sf
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _install_reference_stubs()
+    import rvc.lib.algorithm.synthesizers as synthesizers
+    import rvc.lib.predictors.RMVPE as RMVPE
+
+    return types_ns(synthesizers=synthesizers, RMVPE=RMVPE)
+
+
+def types_ns(**kw):
+    import types
+
+    ns = types.SimpleNamespace(**kw)
+    return ns
+
+
+class _NoNoise:
+    """Zero torch's stochastic sites for the duration of a block."""
+
+    def __enter__(self):
+        self._randn_like = torch.randn_like
+        self._randn = torch.randn
+        self._rand = torch.rand
+        torch.randn_like = lambda x, **k: torch.zeros_like(x)
+        torch.randn = lambda *s, **k: torch.zeros(*s, **k)
+        torch.rand = lambda *s, **k: torch.zeros(*s, **k)
+        return self
+
+    def __exit__(self, *exc):
+        torch.randn_like = self._randn_like
+        torch.randn = self._randn
+        torch.rand = self._rand
+        return False
+
+
+def _to_torch_sd(sd):
+    return {k: torch.from_numpy(np.asarray(v, np.float32))
+            if np.asarray(v).dtype != np.int64 else torch.from_numpy(np.asarray(v))
+            for k, v in sd.items()}
+
+
+def _build_ref_synth(synthesizers, cpt):
+    net = synthesizers.Synthesizer(
+        *cpt["config"], use_f0=bool(cpt["f0"]), input_dim=768, is_half=False
+    )
+    del net.enc_q  # reference inference drops the posterior encoder
+    missing, unexpected = net.load_state_dict(_to_torch_sd(cpt["weight"]),
+                                              strict=False)
+    # everything in the synthetic dict must land; enc_q keys are gone
+    assert not unexpected, unexpected
+    assert all(k.startswith("enc_q") for k in missing), missing
+    net.eval()
+    # NB: the reference inference path keeps weight-norm parametrizations
+    # active (remove_weight_norm is never called, SURVEY §5.4); torch's
+    # parametrization maps legacy weight_g/weight_v keys on load.
+    return net
+
+
+def _synth_inputs(cfg_list, T=64, seed=0, sr_hint=48000):
+    rng = np.random.default_rng(seed)
+    phone = rng.standard_normal((1, T, 768)).astype(np.float32) * 0.3
+    pitch = rng.integers(1, 255, (1, T)).astype(np.int64)
+    # a smooth, plausible f0 contour in Hz
+    t = np.arange(T) / 100.0
+    nsff0 = (220.0 * 2 ** (0.3 * np.sin(2 * np.pi * 1.5 * t))).astype(np.float32)
+    nsff0 = np.tile(nsff0[None], (1, 1))
+    return phone, pitch, nsff0
+
+
+@pytest.fixture(scope="module")
+def tiny_pair(ref):
+    """(torch net, our cfg, our params, cpt) for the tiny 48k v2 config."""
+    from polgen_rvc_tpu.convert.rvc_ckpt import (
+        build_config, convert_synthesizer_state,
+    )
+    from polgen_rvc_tpu.convert.synthetic import make_rvc_checkpoint
+
+    cpt = make_rvc_checkpoint(sr=48000, tiny=True)
+    net = _build_ref_synth(ref.synthesizers, cpt)
+    cfg = build_config(list(cpt["config"]), use_f0=True, version="v2")
+    params = convert_synthesizer_state(cpt["weight"], cfg)
+    return net, cfg, params, cpt
+
+
+def test_enc_p_layerwise_parity(tiny_pair):
+    from polgen_rvc_tpu.models.synthesizer import text_encoder
+
+    net, cfg, params, cpt = tiny_pair
+    phone, pitch, nsff0 = _synth_inputs(cpt["config"])
+    T = phone.shape[1]
+    with torch.no_grad(), _NoNoise():
+        m_ref, logs_ref, mask_ref = net.enc_p(
+            torch.from_numpy(phone), torch.from_numpy(pitch),
+            torch.tensor([T]),
+        )
+    x_mask = jnp.ones((1, 1, T), jnp.float32)
+    m_j, logs_j = text_encoder(
+        params["enc_p"], cfg, jnp.asarray(phone), jnp.asarray(pitch), x_mask
+    )
+    np.testing.assert_allclose(np.asarray(m_j), m_ref.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logs_j), logs_ref.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_flow_reverse_parity(tiny_pair):
+    from polgen_rvc_tpu.models.synthesizer import flow_reverse
+
+    net, cfg, params, cpt = tiny_pair
+    T = 48
+    rng = np.random.default_rng(1)
+    z_p = rng.standard_normal((1, cfg.inter_channels, T)).astype(np.float32)
+    g = rng.standard_normal((1, cfg.gin_channels, 1)).astype(np.float32) * 0.3
+    mask = np.ones((1, 1, T), np.float32)
+    with torch.no_grad():
+        z_ref = net.flow(torch.from_numpy(z_p), torch.from_numpy(mask),
+                         g=torch.from_numpy(g), reverse=True)
+    z_j = flow_reverse(params["flow"], cfg, jnp.asarray(z_p),
+                       jnp.asarray(mask), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(z_j), z_ref.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_nsf_decoder_parity(tiny_pair):
+    from polgen_rvc_tpu.models.nsf import generator_nsf
+
+    net, cfg, params, cpt = tiny_pair
+    T = 48
+    rng = np.random.default_rng(2)
+    z = rng.standard_normal((1, cfg.inter_channels, T)).astype(np.float32) * 0.3
+    g = rng.standard_normal((1, cfg.gin_channels, 1)).astype(np.float32) * 0.3
+    _, _, nsff0 = _synth_inputs(cpt["config"], T=T)
+    with torch.no_grad(), _NoNoise():
+        o_ref = net.dec(torch.from_numpy(z), torch.from_numpy(nsff0),
+                        g=torch.from_numpy(g))
+    o_j = generator_nsf(params["dec"], cfg, jnp.asarray(z),
+                        jnp.asarray(nsff0), jnp.asarray(g), rng=None)
+    o_ref = o_ref.numpy().reshape(-1)
+    o_j = np.asarray(o_j).reshape(-1)
+    assert o_j.shape == o_ref.shape
+    np.testing.assert_allclose(o_j, o_ref, atol=2e-3)
+
+
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_synthesizer_e2e_mel_gate_fullsize(ref, dtype_name):
+    """The BASELINE gate: full-size 48k v2 synthesizer, noise-free, mel
+    distortion vs the torch reference < 0.5 dB (fp32 and the production
+    bf16 compute policy)."""
+    from polgen_rvc_tpu.convert.rvc_ckpt import (
+        build_config, convert_synthesizer_state,
+    )
+    from polgen_rvc_tpu.convert.synthetic import make_rvc_checkpoint
+    from polgen_rvc_tpu.models.synthesizer import synthesizer_infer
+    from polgen_rvc_tpu.utils.metrics import mel_distortion_db
+
+    cpt = make_rvc_checkpoint(sr=48000, tiny=False)
+    net = _build_ref_synth(ref.synthesizers, cpt)
+    cfg = build_config(list(cpt["config"]), use_f0=True, version="v2")
+    params = convert_synthesizer_state(cpt["weight"], cfg)
+
+    T = 100  # 1 s of frames at 100 Hz
+    phone, pitch, nsff0 = _synth_inputs(cpt["config"], T=T, seed=3)
+    with torch.no_grad(), _NoNoise():
+        o_ref, *_ = net.infer(
+            torch.from_numpy(phone), torch.tensor([T]),
+            torch.from_numpy(pitch), torch.from_numpy(nsff0),
+            torch.tensor([0]),
+        )
+    wav_ref = o_ref.numpy().reshape(-1)
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    o_j = synthesizer_infer(
+        params, cfg, jnp.asarray(phone), jnp.ones((1, 1, T), jnp.float32),
+        jnp.asarray(pitch), jnp.asarray(nsff0), jnp.zeros((1,), jnp.int32),
+        rng=None, compute_dtype=dtype,
+    )
+    wav_j = np.asarray(o_j, np.float32).reshape(-1)
+    assert wav_j.shape == wav_ref.shape
+    md = mel_distortion_db(wav_j, wav_ref, cfg.sr)
+    limit = 0.5
+    print(f"mel distortion vs torch reference ({dtype_name}): {md:.4f} dB")
+    assert md < limit, f"{md:.3f} dB >= {limit} dB BASELINE gate"
+    if dtype_name == "float32":
+        assert md < 0.05, f"fp32 should be near-exact, got {md:.3f} dB"
+
+
+# ---------------------------------------------------------------------------
+# RMVPE
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rmvpe_pair(ref, tmp_path_factory):
+    from polgen_rvc_tpu.convert.rmvpe_ckpt import convert_rmvpe_state
+    from polgen_rvc_tpu.convert.synthetic import make_rmvpe_state
+
+    sd = make_rmvpe_state()
+    path = str(tmp_path_factory.mktemp("rmvpe") / "rmvpe.pt")
+    torch.save(_to_torch_sd(sd), path)
+    predictor = ref.RMVPE.RMVPE0Predictor(path, is_half=False, device="cpu")
+    params = convert_rmvpe_state(sd)
+    return predictor, params
+
+
+def test_rmvpe_salience_parity(rmvpe_pair):
+    from polgen_rvc_tpu.models.rmvpe import rmvpe_salience
+
+    predictor, params = rmvpe_pair
+    rng = np.random.default_rng(4)
+    mel = (rng.standard_normal((1, 128, 64)).astype(np.float32) - 4.0)
+    with torch.no_grad():
+        sal_ref = predictor.model(torch.from_numpy(mel)).numpy()
+    sal_j = np.asarray(rmvpe_salience(params, jnp.asarray(mel)))
+    assert sal_j.shape == sal_ref.shape == (1, 64, 360)
+    np.testing.assert_allclose(sal_j, sal_ref, atol=5e-4)
+
+
+def test_rmvpe_full_f0_parity(rmvpe_pair):
+    """audio -> f0 through both stacks, mel frontend included (the rmvpe+
+    dispatch path, RMVPE.py:487-496)."""
+    from polgen_rvc_tpu.models.rmvpe import rmvpe_f0
+
+    predictor, params = rmvpe_pair
+    sr = 16000
+    t = np.arange(sr) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220 * (t + 0.002 * np.sin(2 * np.pi * 5 * t)))
+             ).astype(np.float32)
+    f0_ref = predictor.infer_from_audio_with_pitch(
+        audio, thred=0.03, f0_min=50, f0_max=1100
+    )
+    f0_j = np.asarray(
+        rmvpe_f0(params, jnp.asarray(audio[None]), threshold=0.03,
+                 f0_min=50, f0_max=1100)
+    )[0]
+    assert f0_j.shape == f0_ref.shape
+    # voiced/unvoiced decisions must agree frame-for-frame, and voiced
+    # frames must decode to the same cents within a fraction of a cent
+    voiced = f0_ref > 0
+    assert np.array_equal(voiced, f0_j > 0)
+    if voiced.any():
+        cents = 1200 * np.abs(np.log2(f0_j[voiced] / f0_ref[voiced]))
+        assert cents.max() < 0.5, cents.max()
+
+
+def test_rmvpe_mel_frontend_parity(rmvpe_pair):
+    from polgen_rvc_tpu.models.rmvpe import rmvpe_mel
+
+    predictor, _ = rmvpe_pair
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    with torch.no_grad():
+        mel_ref = predictor.mel_extractor(
+            torch.from_numpy(audio).unsqueeze(0), center=True
+        ).numpy()
+    mel_j = np.asarray(rmvpe_mel(jnp.asarray(audio[None])))
+    assert mel_j.shape == mel_ref.shape
+    np.testing.assert_allclose(mel_j, mel_ref, atol=2e-3)
