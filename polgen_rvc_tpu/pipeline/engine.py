@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models.hubert import HubertConfig, hubert_extract
 from ..models.rmvpe import rmvpe_mel, rmvpe_salience
 from ..models.synthesizer import SynthesizerConfig, synthesizer_infer
-from ..ops.f0_utils import salience_to_f0
+from ..ops.f0_utils import coarse_f0, salience_to_f0
 from ..ops.filters import highpass_filtfilt
 from ..retrieval.topk import retrieval_blend
 from ..utils.progress import NULL_PROGRESS, ProgressReporter
@@ -153,13 +153,15 @@ class VoiceConverter:
     # F0 (full-signal, reference get_f0 semantics)
     # ------------------------------------------------------------------
 
-    def _f0_fn(self, samples_bucket: int):
-        if samples_bucket not in self._f0_fns:
+    def _f0_fn(self, samples_bucket: int, f0_min: float = 50.0,
+               f0_max: float = 1100.0):
+        key = (samples_bucket, float(f0_min), float(f0_max))
+        if key not in self._f0_fns:
             # params travel as jit arguments, NOT closures: closed-over
             # weights get baked into the HLO as constants, which bloats
             # serialized programs and forces XLA to constant-fold them.
-            # mel + U-Net + decode fuse into ONE graph: eager mel dispatch
-            # is tunnel-latency-bound in this environment
+            # mel + U-Net + decode + pitch math fuse into ONE graph: eager
+            # dispatch is tunnel-latency-bound in this environment.
             # measured on v5e: the Pallas U-Net/GRU paths do NOT beat XLA for
             # RMVPE (C=16..64 stages can't fill the MXU either way) and bf16
             # gives no speedup but risks argmax flips in the cents decode —
@@ -168,7 +170,7 @@ class VoiceConverter:
             cdt = jnp.float32
 
             @jax.jit
-            def fn(params, audio, threshold):
+            def fn(params, audio, threshold, shift_factor):
                 mel = rmvpe_mel(audio)
                 n = mel.shape[-1]
                 pad = (-n) % 32
@@ -177,10 +179,17 @@ class VoiceConverter:
                 sal = rmvpe_salience(
                     params, mel, use_pallas=use_pallas, compute_dtype=cdt
                 )[:, :n]
-                return salience_to_f0(sal.astype(jnp.float32), threshold)
+                f0_raw = salience_to_f0(sal.astype(jnp.float32), threshold)
+                # "rmvpe+" range gate, then the pitch shift + coarse
+                # quantization (pipeline.py:183-201) — all device-side so the
+                # chunk graphs can consume f0 without a host round trip
+                f0 = jnp.where((f0_raw < f0_min) | (f0_raw > f0_max), 0.0, f0_raw)
+                pitchf = f0 * shift_factor
+                pitch = coarse_f0(pitchf, f0_min, f0_max)
+                return f0_raw, pitch, pitchf
 
-            self._f0_fns[samples_bucket] = fn
-        return self._f0_fns[samples_bucket]
+            self._f0_fns[key] = fn
+        return self._f0_fns[key]
 
     def compute_f0(self, audio_pad: np.ndarray, p_len: int,
                    opts: ConversionOptions) -> tuple[np.ndarray, np.ndarray]:
@@ -208,7 +217,9 @@ class VoiceConverter:
         pitch = coarse_f0_np(f0.copy(), opts.f0_min, opts.f0_max)
         return pitch, pitchf
 
-    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
+    def _rmvpe_dispatch(self, audio: np.ndarray, opts: ConversionOptions):
+        """Dispatch the fused F0 graph; returns (f0_raw, pitch, pitchf)
+        device arrays of shape (1, n) plus n — nothing synchronizes."""
         if self.rmvpe_params is None:
             raise RuntimeError("rmvpe weights not loaded")
         t = audio.shape[0]
@@ -217,11 +228,31 @@ class VoiceConverter:
         bucket = int(np.ceil(t / step)) * step
         audio_b = np.zeros(bucket, np.float32)
         audio_b[:t] = audio
-        f0 = self._f0_fn(bucket)(self.rmvpe_params, jnp.asarray(audio_b)[None], 0.03)
-        f0 = np.array(f0[0, :n])  # copy: jax buffers are read-only
+        shift = np.float32(2.0 ** (opts.pitch / 12.0))
+        f0_raw, pitch, pitchf = self._f0_fn(bucket, opts.f0_min, opts.f0_max)(
+            self.rmvpe_params, jnp.asarray(audio_b)[None], 0.03, shift
+        )
+        return f0_raw, pitch, pitchf, n
+
+    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
+        f0_raw, _, _, n = self._rmvpe_dispatch(audio, opts)
+        f0 = np.array(f0_raw[0, :n])  # copy: jax buffers are read-only
         # "rmvpe+": zero outside [f0_min, f0_max] (RMVPE.py:487-496)
         f0[(f0 < opts.f0_min) | (f0 > opts.f0_max)] = 0.0
         return f0
+
+    def compute_f0_device(self, audio_pad: np.ndarray, p_len: int,
+                          opts: ConversionOptions):
+        """Device-resident F0: dispatch the fused rmvpe graph and return
+        (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk graphs
+        consume them without a host synchronization. Returns None when the
+        method or an f0-file override requires the host path."""
+        if opts.f0_method not in ("rmvpe+", "rmvpe") or opts.f0_file:
+            return None
+        _, pitch, pitchf, n = self._rmvpe_dispatch(audio_pad, opts)
+        if n < p_len:  # cannot happen (n = t//160 + 1 >= t//window), but
+            return None  # fall back rather than mis-slice
+        return pitch, pitchf  # (1, P) device arrays, unfetched
 
     def _apply_f0_file(self, f0: np.ndarray, path: str) -> np.ndarray:
         """Reference f0-file override (pipeline.py:185-191, 351-360)."""
@@ -248,8 +279,14 @@ class VoiceConverter:
     # ------------------------------------------------------------------
 
     def _chunk_fn(self, bucket_len: int, batch: int, *, use_index: bool,
-                  use_protect: bool, use_f0: bool):
-        key = (bucket_len, batch, use_index, use_protect, use_f0)
+                  use_protect: bool, use_f0: bool,
+                  devf0_frames: Optional[int] = None):
+        """Jitted chunk-batch graph. With devf0_frames set, the graph takes
+        the full-signal (1, devf0_frames) pitch arrays (device-resident F0
+        output) plus per-row frame offsets and slices rows in-graph — no
+        eager device ops, which cost a tunnel round trip each in this
+        environment."""
+        key = (bucket_len, batch, use_index, use_protect, use_f0, devf0_frames)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
 
@@ -262,7 +299,26 @@ class VoiceConverter:
         use_pallas = jax.default_backend() not in ("cpu",)
 
         def step(hubert_params, synth_params, bank,
-                 wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
+                 wav, pitch, pitchf, starts, frame_mask,
+                 index_rate, protect, sid, key):
+            if use_f0 and devf0_frames is not None:
+                # pitch/pitchf arrive as the full-signal (1, P) F0 output;
+                # slice each row's window in-graph (pad first so the slices
+                # never clamp near the end)
+                pfull = jnp.pad(pitch[0], (0, p_len), constant_values=1)
+                ffull = jnp.pad(pitchf[0], (0, p_len))
+                pitch = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(pfull, (s,), (p_len,))
+                )(starts)
+                pitchf = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(ffull, (s,), (p_len,))
+                )(starts)
+            if use_f0:
+                # rows sliced from the device-resident full-signal F0 carry
+                # garbage past their valid length; mask to the same values
+                # the host batch builder uses (pitch=1, pitchf=0)
+                pitch = jnp.where(frame_mask > 0, pitch, 1)
+                pitchf = jnp.where(frame_mask > 0, pitchf, 0.0)
             out_layer = (
                 9 if (v1 and self.hubert_cfg.n_layers >= 9)
                 else self.hubert_cfg.n_layers
@@ -294,10 +350,12 @@ class VoiceConverter:
 
         jitted = jax.jit(step)
 
-        def fn(wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key):
+        def fn(wav, pitch, pitchf, starts, frame_mask,
+               index_rate, protect, sid, key):
             return jitted(
                 self.hubert_params, self.synth_params, self.index_bank,
-                wav, pitch, pitchf, frame_mask, index_rate, protect, sid, key,
+                wav, pitch, pitchf, starts, frame_mask,
+                index_rate, protect, sid, key,
             )
 
         self._chunk_fns[key] = (fn, p_len)
@@ -434,17 +492,34 @@ class VoiceConverter:
         p_len_full = plan.padded_audio.shape[0] // eng.window
 
         pitch_full = pitchf_full = None
+        pitch_dev = pitchf_dev = None
         if use_f0:
             progress(0.15, f"extracting F0 ({opts.f0_method})")
-            pitch_full, pitchf_full = self.compute_f0(
-                plan.padded_audio, p_len_full, opts
-            )
+            # rmvpe: dispatch the fused F0 graph and keep the result on
+            # device — chunk graphs slice it there, so F0 overlaps host-side
+            # chunk prep and nothing synchronizes until the final fetch
+            dev = self.compute_f0_device(plan.padded_audio, p_len_full, opts)
+            if dev is not None:
+                pitch_dev, pitchf_dev = dev
+                if self.mesh is not None:
+                    from ..parallel.mesh import replicate
+
+                    # every data-shard slices from the same full-signal F0
+                    pitch_dev = replicate(pitch_dev, self.mesh)
+                    pitchf_dev = replicate(pitchf_dev, self.mesh)
+            else:
+                pitch_full, pitchf_full = self.compute_f0(
+                    plan.padded_audio, p_len_full, opts
+                )
 
         use_index = self.index_bank is not None and opts.index_rate > 0
         use_protect = use_f0 and opts.protect < 0.5
         fn, p_len = self._chunk_fn(
             plan.bucket_len, eng.chunk_batch,
             use_index=use_index, use_protect=use_protect, use_f0=use_f0,
+            devf0_frames=(
+                int(pitch_dev.shape[1]) if pitch_dev is not None else None
+            ),
         )
 
         upp = self.synth_cfg.upp
@@ -466,6 +541,7 @@ class VoiceConverter:
             pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
             pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
             mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
+            starts = np.zeros(eng.chunk_batch, np.int32)
             valid_frames = []
             for row, ci in enumerate(idxs):
                 c = plan.chunks[ci]
@@ -474,8 +550,9 @@ class VoiceConverter:
                         2 * self.hubert_cfg.num_frames(slice_len), p_len)
                 valid_frames.append(v)
                 mask_b[row, :v] = 1.0
-                if use_f0:
-                    f0_lo = c.slice_start // window
+                f0_lo = c.slice_start // window
+                starts[row] = f0_lo
+                if use_f0 and pitch_dev is None:
                     seg_p = pitch_full[f0_lo : f0_lo + v]
                     seg_f = pitchf_full[f0_lo : f0_lo + v]
                     pitch_b[row, : len(seg_p)] = seg_p
@@ -485,20 +562,31 @@ class VoiceConverter:
             progress(0.3 + 0.6 * g0 / max(n_chunks, 1),
                      f"converting chunks {g0 + 1}-{idxs[-1] + 1}/{n_chunks}")
             sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
+            if pitch_dev is not None:
+                pitch_rows, pitchf_rows = pitch_dev, pitchf_dev  # (1, P)
+            else:
+                pitch_rows, pitchf_rows = pitch_b, pitchf_b  # (B, p_len)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_batch
 
                 wav_d = shard_batch(jnp.asarray(wav), self.mesh)
-                pitch_d = shard_batch(jnp.asarray(pitch_b), self.mesh)
-                pitchf_d = shard_batch(jnp.asarray(pitchf_b), self.mesh)
+                if pitch_dev is not None:
+                    pitch_d, pitchf_d = pitch_rows, pitchf_rows  # replicated
+                else:
+                    pitch_d = shard_batch(jnp.asarray(pitch_rows), self.mesh)
+                    pitchf_d = shard_batch(jnp.asarray(pitchf_rows), self.mesh)
+                starts_d = shard_batch(jnp.asarray(starts), self.mesh)
                 mask_d = shard_batch(jnp.asarray(mask_b), self.mesh)
                 sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
             else:
-                wav_d, pitch_d, pitchf_d, mask_d, sid_d = map(
-                    jnp.asarray, (wav, pitch_b, pitchf_b, mask_b, sid_b)
+                pitch_d = pitch_rows if pitch_dev is not None else jnp.asarray(pitch_rows)
+                pitchf_d = pitchf_rows if pitch_dev is not None else jnp.asarray(pitchf_rows)
+                wav_d, starts_d, mask_d, sid_d = (
+                    jnp.asarray(wav), jnp.asarray(starts),
+                    jnp.asarray(mask_b), jnp.asarray(sid_b),
                 )
             out = fn(
-                wav_d, pitch_d, pitchf_d, mask_d,
+                wav_d, pitch_d, pitchf_d, starts_d, mask_d,
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
                 sid_d, sub,
             )
