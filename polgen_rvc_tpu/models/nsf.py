@@ -67,7 +67,12 @@ def sine_source(
     uv = (f0 > voiced_threshold).astype(jnp.float32)
     uv = jnp.repeat(uv, upp, axis=-1)
     noise_amp = uv * noise_std + (1.0 - uv) * (sine_amp / 3.0)
-    if rng is not None:
+    if rng is not None and rng.ndim == 2:
+        # per-row keys: packing-invariant noise (see synthesizer_infer)
+        noise = noise_amp * jax.vmap(
+            lambda k: jax.random.normal(k, sine.shape[1:], jnp.float32)
+        )(rng)
+    elif rng is not None:
         noise = noise_amp * jax.random.normal(rng, sine.shape, jnp.float32)
     else:
         noise = jnp.zeros_like(sine)

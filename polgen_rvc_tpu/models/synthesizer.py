@@ -364,7 +364,16 @@ def synthesizer_infer(
     # rest of the graph in bf16 lands at ~0.1 dB (see tests/test_quality.py)
     m_p32 = m_p.astype(jnp.float32)
     logs_p32 = logs_p.astype(jnp.float32)
-    if rng is not None:
+    if rng is not None and rng.ndim == 2:
+        # per-row keys (B, 2): noise depends only on each row's own key, so
+        # a chunk renders identically no matter which batch slot it rides in
+        # (packing-invariant batch cover generation)
+        ks = jax.vmap(jax.random.split)(rng)  # (B, 2, 2)
+        k_lat, k_nsf = ks[:, 0], ks[:, 1]
+        eps = jax.vmap(
+            lambda k: jax.random.normal(k, m_p.shape[1:], jnp.float32)
+        )(k_lat)
+    elif rng is not None:
         k_lat, k_nsf = jax.random.split(rng)
         eps = jax.random.normal(k_lat, m_p.shape, jnp.float32)
     else:

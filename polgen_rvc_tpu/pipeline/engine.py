@@ -300,7 +300,11 @@ class VoiceConverter:
 
         def step(hubert_params, synth_params, bank,
                  wav, pitch, pitchf, starts, frame_mask,
-                 index_rate, protect, sid, key):
+                 index_rate, protect, sid, key, chunk_ids):
+            # per-row noise keys derived from (seed, song-chunk index): a
+            # chunk renders identically whatever batch slot it occupies, so
+            # multi-song packed batches reproduce serial conversions exactly
+            row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(chunk_ids)
             if use_f0 and devf0_frames is not None:
                 # pitch/pitchf arrive as the full-signal (1, P) F0 output;
                 # slice each row's window in-graph (pad first so the slices
@@ -343,7 +347,7 @@ class VoiceConverter:
                 feats, x_mask,
                 pitch if use_f0 else None,
                 pitchf if use_f0 else None,
-                sid=sid, rng=key, noise_scale=noise_scale,
+                sid=sid, rng=row_keys, noise_scale=noise_scale,
                 compute_dtype=cdt, use_pallas=use_pallas,
             )
             return audio.astype(jnp.float32)
@@ -351,11 +355,11 @@ class VoiceConverter:
         jitted = jax.jit(step)
 
         def fn(wav, pitch, pitchf, starts, frame_mask,
-               index_rate, protect, sid, key):
+               index_rate, protect, sid, key, chunk_ids):
             return jitted(
                 self.hubert_params, self.synth_params, self.index_bank,
                 wav, pitch, pitchf, starts, frame_mask,
-                index_rate, protect, sid, key,
+                index_rate, protect, sid, key, chunk_ids,
             )
 
         self._chunk_fns[key] = (fn, p_len)
@@ -367,20 +371,175 @@ class VoiceConverter:
         opts: "ConversionOptions" = None,
         progress: ProgressReporter = NULL_PROGRESS,
     ) -> list:
-        """Batch cover generation: convert several songs back-to-back.
+        """Batch cover generation: true multi-song data parallelism.
 
-        All songs share the compiled graph cache and device-resident
-        weights, so per-song cost after the first is pure compute (the
-        reference reloads every model per request). On a multi-host
-        deployment, shard the song list across hosts (each host runs its
-        own converter over its ICI mesh; songs are independent, so the
-        only DCN traffic is the work split — SURVEY §2.2's scaling axis).
+        Chunks from DIFFERENT songs pack into the same bucketed chunk
+        batches, so a wide data mesh stays full even on short songs
+        (PARITY §5 / SURVEY §2.2's scaling axis). Flow: every song's F0
+        graph is dispatched before anything synchronizes, then a global
+        work list of (song, chunk) pairs is packed bucket-by-bucket into
+        shared batches, and each song finalizes on device from the shared
+        batch outputs (rows of other songs masked out). Songs fall back to
+        serial conversion when they need host-side F0 (f0 file, crepe/fcpe)
+        or resampling. On a multi-host deployment, shard the song list
+        across hosts — songs are independent, so the only DCN traffic is
+        the work split.
         """
         opts = opts or ConversionOptions()
+        eng = self.engine
+        use_f0 = self.synth_cfg.use_f0
+        n_songs = len(audios)
+        if n_songs == 0:
+            return []
+        serial_needed = use_f0 and (
+            opts.f0_method not in ("rmvpe+", "rmvpe") or bool(opts.f0_file)
+            or self.rmvpe_params is None
+        )
+        needs_resample = (
+            opts.resample_sr >= eng.sample_rate
+            and opts.resample_sr != self.tgt_sr
+        )
+        if serial_needed or needs_resample:
+            results = []
+            for i, audio in enumerate(audios):
+                progress(i / n_songs, f"song {i + 1}/{n_songs}")
+                results.append(self.convert(np.asarray(audio), opts))
+            progress(1.0, "batch done")
+            return results
+
+        # 1) per-song prep + F0 dispatch (no sync yet)
+        progress(0.05, f"planning {n_songs} songs + dispatching F0")
+        songs = []
+        for audio in audios:
+            audio = highpass_filtfilt(
+                np.asarray(audio, np.float64)
+            ).astype(np.float32)
+            plan = plan_chunks(audio, eng)
+            p_len_full = plan.padded_audio.shape[0] // eng.window
+            rec = {"audio": audio, "plan": plan, "p_len_full": p_len_full}
+            if use_f0:
+                _, pitch, pitchf, n = self._rmvpe_dispatch(
+                    plan.padded_audio, opts
+                )
+                rec["pitch_d"], rec["pitchf_d"], rec["n"] = pitch, pitchf, n
+            songs.append(rec)
+
+        # 2) one synchronization point: fetch every song's (small) F0 arrays
+        if use_f0:
+            for rec in songs:
+                p = rec["p_len_full"]
+                rec["pitch"] = np.asarray(rec["pitch_d"][0, :p])
+                rec["pitchf"] = np.asarray(rec["pitchf_d"][0, :p])
+
+        # 3) global work list grouped by bucket (chunks of different songs
+        #    with the same padded length share batches)
+        work_by_bucket: dict = {}
+        for si, rec in enumerate(songs):
+            for ci in range(len(rec["plan"].chunks)):
+                work_by_bucket.setdefault(rec["plan"].bucket_len, []).append(
+                    (si, ci)
+                )
+
+        use_index = self.index_bank is not None and opts.index_rate > 0
+        use_protect = use_f0 and opts.protect < 0.5
+        window = eng.window
+        upp = self.synth_cfg.upp
+        t_pad_tgt = self.tgt_sr * eng.x_pad
+        rng = jax.random.PRNGKey(opts.seed)
+
+        # song -> list of (bucket-local batch index, row, valid) in chunk
+        # order; batches of different buckets have different row lengths, so
+        # each song finalizes over its own bucket's batch list only
+        placements: list[list] = [[] for _ in songs]
+        bucket_outputs: dict = {}
+        total_work = sum(len(v) for v in work_by_bucket.values())
+        done_work = 0
+        for bucket_len, work in sorted(work_by_bucket.items()):
+            batch_outputs = bucket_outputs.setdefault(bucket_len, [])
+            fn, p_len = self._chunk_fn(
+                bucket_len, eng.chunk_batch, use_index=use_index,
+                use_protect=use_protect, use_f0=use_f0,
+            )
+            for g0 in range(0, len(work), eng.chunk_batch):
+                group = work[g0 : g0 + eng.chunk_batch]
+                wav = np.zeros((eng.chunk_batch, bucket_len), np.float32)
+                pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
+                pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
+                mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
+                for row, (si, ci) in enumerate(group):
+                    rec = songs[si]
+                    row_wav, _ = gather_chunk_batch(rec["plan"], [ci], eng)
+                    wav[row] = row_wav[0]
+                    c = rec["plan"].chunks[ci]
+                    slice_len = c.slice_end - c.slice_start
+                    v = min(slice_len // window,
+                            2 * self.hubert_cfg.num_frames(slice_len), p_len)
+                    mask_b[row, :v] = 1.0
+                    if use_f0:
+                        f0_lo = c.slice_start // window
+                        seg_p = rec["pitch"][f0_lo : f0_lo + v]
+                        seg_f = rec["pitchf"][f0_lo : f0_lo + v]
+                        pitch_b[row, : len(seg_p)] = seg_p
+                        pitchf_b[row, : len(seg_f)] = seg_f
+                    placements[si].append((len(batch_outputs), row, v))
+                done_work += len(group)
+                progress(0.2 + 0.55 * done_work / max(total_work, 1),
+                         f"converting {done_work}/{total_work} chunks")
+                sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
+                starts_b = np.zeros(eng.chunk_batch, np.int32)
+                # per-row noise keys fold in the SONG-LOCAL chunk index, so a
+                # packed row renders bit-identically to its serial conversion
+                ids_b = np.zeros(eng.chunk_batch, np.int32)
+                for row, (si, ci) in enumerate(group):
+                    ids_b[row] = ci
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    arrs = [
+                        shard_batch(jnp.asarray(a), self.mesh)
+                        for a in (wav, pitch_b, pitchf_b, starts_b, mask_b)
+                    ]
+                    sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
+                    ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
+                else:
+                    arrs = [jnp.asarray(a)
+                            for a in (wav, pitch_b, pitchf_b, starts_b, mask_b)]
+                    sid_d = jnp.asarray(sid_b)
+                    ids_d = jnp.asarray(ids_b)
+                out = fn(*arrs, jnp.float32(opts.index_rate),
+                         jnp.float32(opts.protect), sid_d, rng, ids_d)
+                batch_outputs.append(out)
+
+        # 4) per-song device finalize over its bucket's shared batch
+        #    outputs: other songs' rows carry v=0 so they scatter nothing
+        progress(0.85, "finalizing songs on device")
         results = []
-        for i, audio in enumerate(audios):
-            progress(i / max(len(audios), 1), f"song {i + 1}/{len(audios)}")
-            results.append(self.convert(np.asarray(audio), opts))
+        for si, rec in enumerate(songs):
+            audio = rec["audio"]
+            my = placements[si]
+            batch_outputs = bucket_outputs[rec["plan"].bucket_len]
+            row_len = batch_outputs[0].shape[1]
+            total_out = sum(max(v * upp - 2 * t_pad_tgt, 0) for _, _, v in my)
+            l16b = int(np.ceil(audio.shape[0] / (15 * 16000))) * 15 * 16000
+            l48b = (
+                int(np.ceil(total_out / (15 * self.tgt_sr))) * 15 * self.tgt_sr
+            )
+            fin = self._finalize_fn(
+                len(batch_outputs), eng.chunk_batch, row_len, l16b, l48b
+            )
+            v_arr = np.zeros(len(batch_outputs) * eng.chunk_batch, np.int32)
+            for bi, row, v in my:
+                v_arr[bi * eng.chunk_batch + row] = v
+            src16 = np.clip(
+                np.round(audio * 32767.0), -32768, 32767
+            ).astype(np.int16)
+            src16 = np.pad(src16, (0, l16b - len(src16)))
+            out_i16 = fin(
+                tuple(batch_outputs), jnp.asarray(v_arr), jnp.asarray(src16),
+                jnp.int32(audio.shape[0]), jnp.int32(total_out),
+                jnp.float32(opts.volume_envelope),
+            )
+            results.append((np.asarray(out_i16)[:total_out], self.tgt_sr))
         progress(1.0, "batch done")
         return results
 
@@ -558,10 +717,12 @@ class VoiceConverter:
                     pitch_b[row, : len(seg_p)] = seg_p
                     pitchf_b[row, : len(seg_f)] = seg_f
 
-            rng, sub = jax.random.split(rng)
             progress(0.3 + 0.6 * g0 / max(n_chunks, 1),
                      f"converting chunks {g0 + 1}-{idxs[-1] + 1}/{n_chunks}")
             sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
+            # per-row noise keys fold in the chunk index (packing-invariant)
+            ids_b = np.zeros(eng.chunk_batch, np.int32)
+            ids_b[: len(idxs)] = idxs
             if pitch_dev is not None:
                 pitch_rows, pitchf_rows = pitch_dev, pitchf_dev  # (1, P)
             else:
@@ -578,17 +739,19 @@ class VoiceConverter:
                 starts_d = shard_batch(jnp.asarray(starts), self.mesh)
                 mask_d = shard_batch(jnp.asarray(mask_b), self.mesh)
                 sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
+                ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
             else:
                 pitch_d = pitch_rows if pitch_dev is not None else jnp.asarray(pitch_rows)
                 pitchf_d = pitchf_rows if pitch_dev is not None else jnp.asarray(pitchf_rows)
-                wav_d, starts_d, mask_d, sid_d = (
+                wav_d, starts_d, mask_d, sid_d, ids_d = (
                     jnp.asarray(wav), jnp.asarray(starts),
                     jnp.asarray(mask_b), jnp.asarray(sid_b),
+                    jnp.asarray(ids_b),
                 )
             out = fn(
                 wav_d, pitch_d, pitchf_d, starts_d, mask_d,
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
-                sid_d, sub,
+                sid_d, rng, ids_d,
             )
             # async dispatch: don't synchronize here — later batches overlap
             # with this one's execution and with host-side prep

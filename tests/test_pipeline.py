@@ -144,3 +144,44 @@ def test_convert_batch_shares_graphs(converter):
     for (out, sr), seconds in zip(outs, (2.0, 3.0)):
         assert sr == 48000
         assert abs(len(out) - seconds * 48000) < 48000 // 2
+
+
+def test_convert_batch_packs_multiple_songs_per_dispatch(converter):
+    """True multi-song DP: chunks of different songs ride the same chunk
+    batch, and each song's output is IDENTICAL to its serial conversion —
+    noise keys fold in the song-local chunk index, so rendering is
+    packing-invariant (VERDICT r1 weak #6)."""
+    songs = [_song(4.0, seed=31), _song(4.0, seed=32)]
+    opts = ConversionOptions(volume_envelope=0.25)
+
+    # instrument the chunk graphs to observe batch composition (rows with a
+    # non-empty mask are real chunks)
+    batches_seen = []
+    orig = converter._chunk_fn
+
+    def spy(*a, **k):
+        fn, p_len = orig(*a, **k)
+
+        def wrapped(wav, pitch, pitchf, starts, mask, *rest):
+            batches_seen.append(np.asarray(mask).sum(axis=1) > 0)
+            return fn(wav, pitch, pitchf, starts, mask, *rest)
+
+        return wrapped, p_len
+
+    converter._chunk_fn = spy
+    try:
+        outs = converter.convert_batch(songs, opts)
+    finally:
+        converter._chunk_fn = orig
+
+    # both songs fit one batch (chunk_batch=2 in the fixture covers 2 chunks)
+    rows_per_batch = [int(m.sum()) for m in batches_seen]
+    assert sum(rows_per_batch) == 2  # one chunk per 4 s song
+    assert max(rows_per_batch) == 2, (
+        f"songs were not packed into a shared dispatch: {rows_per_batch}"
+    )
+
+    for (out, sr), song in zip(outs, songs):
+        ref, ref_sr = converter.convert(song, opts)
+        assert sr == ref_sr == 48000
+        np.testing.assert_array_equal(out, ref)

@@ -117,7 +117,8 @@ def main():
     args = (jnp.asarray(wav), jnp.asarray(pitch_b), jnp.asarray(pitchf_b),
             jnp.zeros((eng.chunk_batch,), jnp.int32), jnp.asarray(mask_b),
             jnp.float32(0.5), jnp.float32(0.33),
-            jnp.zeros((eng.chunk_batch,), jnp.int32), key)
+            jnp.zeros((eng.chunk_batch,), jnp.int32), key,
+            jnp.arange(eng.chunk_batch, dtype=jnp.int32))
     for _ in range(2):
         t0 = time.perf_counter()
         out = fn(*args)
