@@ -351,10 +351,10 @@ def synthesizer_infer(
     sid = jnp.atleast_1d(jnp.asarray(sid, jnp.int32))
     g = jnp.asarray(params["emb_g"], compute_dtype)[sid][:, :, None]  # (B, gin, 1)
 
-    # flash path validated on-device (tools/validate_flash_attention.py) but
-    # only ~10% faster than the banded path — the materialized ab bias eats
-    # the streaming win. Off until the band bias is generated in-kernel.
-    use_flash = False
+    # flash rel-attention generates the band bias in-kernel (no (T, T)
+    # arrays at all); worthwhile once T spans multiple tiles. TPU-only —
+    # CPU runs the banded XLA path (tested equal).
+    use_flash = use_pallas and phone.shape[1] >= 512
     m_p, logs_p = text_encoder(
         params["enc_p"], cfg, phone, pitch, x_mask, use_flash=use_flash
     )

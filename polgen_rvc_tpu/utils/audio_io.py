@@ -1,9 +1,11 @@
 """Host-side audio I/O (soundfile/librosa.load capability, no native deps).
 
 WAV (PCM 8/16/24/32, float32/64) is handled natively here; FLAC via the
-C++ codec in polgen_rvc_tpu.native when built; MP3 requires an external
-encoder (ffmpeg) and is cleanly gated when absent — this environment's
-codec boundary (reference used pydub->ffmpeg, audio_processing.py:37-40).
+C++ codec in polgen_rvc_tpu.native when built; MP3 via direct ctypes
+bindings to the system codec libraries (utils/mp3_codec.py — the same
+libmp3lame the reference reached through pydub->ffmpeg,
+audio_processing.py:37-40), with an ffmpeg-subprocess fallback and clean
+CodecUnavailable gating when neither is present.
 """
 
 from __future__ import annotations
@@ -99,6 +101,13 @@ def read_audio(path: str):
         from ..native import flac  # deferred: optional native codec
 
         return flac.decode(path)
+    if ext == ".mp3":
+        from . import mp3_codec
+
+        try:
+            return mp3_codec.decode_mp3(path)
+        except mp3_codec.Mp3Unavailable:
+            pass  # fall through to ffmpeg
     if shutil.which("ffmpeg"):
         out = subprocess.run(
             ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le", "-"],
@@ -133,6 +142,13 @@ def write_audio(path: str, samples, sr: int):
         except Exception as e:  # codec not built
             if shutil.which("ffmpeg") is None:
                 raise CodecUnavailable(f"flac encode unavailable: {e}") from e
+    if ext == ".mp3":
+        from . import mp3_codec
+
+        try:
+            return mp3_codec.encode_mp3(path, samples, sr)
+        except mp3_codec.Mp3Unavailable:
+            pass  # fall through to ffmpeg
     if shutil.which("ffmpeg"):
         tmp = path + ".tmp.wav"
         _write_wav(tmp, samples, sr)

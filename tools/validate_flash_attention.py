@@ -6,11 +6,14 @@ correctness gate; see tests/test_models_synthesizer.py for the banded
 path's CPU-checked reference semantics.)
 """
 
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, ".")
 
 import polgen_rvc_tpu
 
