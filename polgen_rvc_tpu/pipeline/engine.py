@@ -138,7 +138,7 @@ class VoiceConverter:
         self._f0_fns = {}
         self._crepe_fns = {}
         self._fcpe_fns = {}
-        self._finalize_fns = {}
+        self._trim_fns = {}
 
     def _crepe_fn(self, bucket: int):
         if bucket not in self._crepe_fns:
@@ -378,10 +378,11 @@ class VoiceConverter:
         (PARITY §5 / SURVEY §2.2's scaling axis). Flow: every song's F0
         graph is dispatched before anything synchronizes, then a global
         work list of (song, chunk) pairs is packed bucket-by-bucket into
-        shared batches, and each song finalizes on device from the shared
-        batch outputs (rows of other songs masked out). Songs fall back to
-        serial conversion when they need host-side F0 (f0 file, crepe/fcpe)
-        or resampling. On a multi-host deployment, shard the song list
+        shared batches, each batch trims + int16-packs on device (per-row
+        scales keep rendering packing-invariant), and songs assemble on
+        host from the pipelined fetches. Songs fall back to serial
+        conversion only when they need host-side F0 (f0 file, crepe/fcpe).
+        On a multi-host deployment, shard the song list
         across hosts — songs are independent, so the only DCN traffic is
         the work split.
         """
@@ -395,11 +396,7 @@ class VoiceConverter:
             opts.f0_method not in ("rmvpe+", "rmvpe") or bool(opts.f0_file)
             or self.rmvpe_params is None
         )
-        needs_resample = (
-            opts.resample_sr >= eng.sample_rate
-            and opts.resample_sr != self.tgt_sr
-        )
-        if serial_needed or needs_resample:
+        if serial_needed:
             results = []
             for i, audio in enumerate(audios):
                 progress(i / n_songs, f"song {i + 1}/{n_songs}")
@@ -508,123 +505,115 @@ class VoiceConverter:
                     ids_d = jnp.asarray(ids_b)
                 out = fn(*arrs, jnp.float32(opts.index_rate),
                          jnp.float32(opts.protect), sid_d, rng, ids_d)
-                batch_outputs.append(out)
+                # per-batch trim + int16 pack, dispatched immediately so
+                # fetches pipeline behind later batches' compute. Per-row
+                # scales: a row's bytes never depend on the other songs
+                # sharing the batch (packing invariance)
+                v_b = np.zeros(eng.chunk_batch, np.int32)
+                for row, (si, ci) in enumerate(group):
+                    v_b[row] = placements[si][-1][2]
+                seg, absmax = self._trim_fn(out.shape[1])(
+                    out, jnp.asarray(v_b)
+                )
+                batch_outputs.append((seg, absmax))
 
-        # 4) per-song device finalize over its bucket's shared batch
-        #    outputs: other songs' rows carry v=0 so they scatter nothing
-        progress(0.85, "finalizing songs on device")
+        # 4) per-song host finalize from the pipelined int16 fetches
+        progress(0.85, "fetching + finalizing songs")
+        fetched: dict = {}
         results = []
         for si, rec in enumerate(songs):
-            audio = rec["audio"]
-            my = placements[si]
             batch_outputs = bucket_outputs[rec["plan"].bucket_len]
-            row_len = batch_outputs[0].shape[1]
-            total_out = sum(max(v * upp - 2 * t_pad_tgt, 0) for _, _, v in my)
-            l16b = int(np.ceil(audio.shape[0] / (15 * 16000))) * 15 * 16000
-            l48b = (
-                int(np.ceil(total_out / (15 * self.tgt_sr))) * 15 * self.tgt_sr
-            )
-            fin = self._finalize_fn(
-                len(batch_outputs), eng.chunk_batch, row_len, l16b, l48b
-            )
-            v_arr = np.zeros(len(batch_outputs) * eng.chunk_batch, np.int32)
-            for bi, row, v in my:
-                v_arr[bi * eng.chunk_batch + row] = v
-            src16 = np.clip(
-                np.round(audio * 32767.0), -32768, 32767
-            ).astype(np.int16)
-            src16 = np.pad(src16, (0, l16b - len(src16)))
-            out_i16 = fin(
-                tuple(batch_outputs), jnp.asarray(v_arr), jnp.asarray(src16),
-                jnp.int32(audio.shape[0]), jnp.int32(total_out),
-                jnp.float32(opts.volume_envelope),
-            )
-            results.append((np.asarray(out_i16)[:total_out], self.tgt_sr))
+            rows = []
+            for bi, row, v in placements[si]:
+                key = (rec["plan"].bucket_len, bi)
+                if key not in fetched:
+                    seg, absmax = batch_outputs[bi]
+                    fetched[key] = (np.asarray(seg), np.asarray(absmax))
+                seg_h, am_h = fetched[key]
+                n = max(v * upp - 2 * t_pad_tgt, 0)
+                if n:
+                    rows.append((seg_h[row, :n], am_h[row]))
+            audio_opt = self._rows_to_audio(rows)
+            results.append(self._host_finalize(rec["audio"], audio_opt, opts))
         progress(1.0, "batch done")
         return results
 
     # ------------------------------------------------------------------
-    # device-side finalization: trim + concat + RMS mix + normalize + int16
+    # output path: per-batch device trim + int16 pack, host finalize
     # ------------------------------------------------------------------
 
-    def _finalize_fn(self, n_batches: int, batch: int, row_len: int,
-                     l16b: int, l48b: int):
-        """One graph replacing the host post-processing (change_rms +
-        normalize, pipeline.py:449-461): chunk outputs stay on device,
-        valid regions scatter into place via dynamic slices, envelopes
-        transfer, and only the final int16 crosses the host link."""
-        key = (n_batches, batch, row_len, l16b, l48b)
-        if key in self._finalize_fns:
-            return self._finalize_fns[key]
+    def _trim_fn(self, row_len: int):
+        """Per-batch trim graph: (B, row_len) f32 chunk outputs -> packed
+        (B, row_len - 2*t_pad_tgt) int16 rows + per-row absmax.
+
+        This is the pipelined-fetch design: each batch's valid audio is
+        quantized to int16 against its OWN row maximum (packing-invariant —
+        a row's bytes do not depend on what else rides the batch) and
+        fetched as soon as the batch finishes, overlapping later batches'
+        device compute. RMS envelope transfer, optional resample, and the
+        final normalize run on host over the dequantized rows — the exact
+        reference order (pipeline.py:449-461). Halves the bytes on the
+        final fetch vs fetching f32 and hides all but the last batch's
+        transfer behind compute."""
+        if row_len in self._trim_fns:
+            return self._trim_fns[row_len]
 
         t_pad_tgt = self.tgt_sr * self.engine.x_pad
+        out_len = row_len - 2 * t_pad_tgt
         upp = self.synth_cfg.upp
-        src_sr = self.engine.sample_rate
-        tgt_sr = self.tgt_sr
-        f1_len, f1_hop = src_sr // 2 * 2, src_sr // 2
-        f2_len, f2_hop = tgt_sr // 2 * 2, tgt_sr // 2
-        nf1 = 1 + l16b // f1_hop
-        nf2 = 1 + l48b // f2_hop
-
-        def rms_frames(x, frame, hop, n_frames):
-            xp = jnp.pad(x, (frame // 2, frame // 2))
-            idx = (jnp.arange(n_frames)[:, None] * hop
-                   + jnp.arange(frame)[None, :])
-            return jnp.sqrt(jnp.mean(jnp.take(xp, idx, axis=0) ** 2, axis=-1))
-
-        def interp_to(vals, n_valid, out_len_scalar, out_size):
-            # F.interpolate(linear, align_corners=False) with dynamic counts
-            pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
-                n_valid.astype(jnp.float32) / out_len_scalar.astype(jnp.float32)
-            ) - 0.5
-            pos = jnp.clip(pos, 0.0, n_valid.astype(jnp.float32) - 1.0)
-            lo = jnp.floor(pos).astype(jnp.int32)
-            hi = jnp.minimum(lo + 1, n_valid - 1)
-            frac = pos - lo.astype(jnp.float32)
-            return vals[lo] * (1 - frac) + vals[hi] * frac
 
         @jax.jit
-        def fn(batches, v_arr, src16, n16, n_out, rate):
-            total = jnp.zeros(l48b + row_len, jnp.float32)
-            off = jnp.asarray(t_pad_tgt, jnp.int32)  # front guard
-            idx_row = jnp.arange(row_len)
-            ci = 0
-            for out_b in batches:
-                for row in range(batch):
-                    v = v_arr[ci]
-                    ci += 1
-                    valid_end = v * upp - t_pad_tgt
-                    seg = jnp.where(
-                        (idx_row >= t_pad_tgt) & (idx_row < valid_end),
-                        out_b[row], 0.0,
-                    )
-                    place = off - t_pad_tgt
-                    window = jax.lax.dynamic_slice(total, (place,), (row_len,))
-                    total = jax.lax.dynamic_update_slice(
-                        total, window + seg, (place,)
-                    )
-                    off = off + jnp.maximum(valid_end - t_pad_tgt, 0)
-            audio = jax.lax.dynamic_slice(total, (t_pad_tgt,), (l48b,))
+        def fn(out_b, v_arr):
+            valid = jnp.maximum(v_arr * upp - 2 * t_pad_tgt, 0)  # (B,)
+            rows = out_b[:, t_pad_tgt : t_pad_tgt + out_len]
+            idx = jnp.arange(out_len)[None, :]
+            rows = jnp.where(idx < valid[:, None], rows, 0.0)
+            absmax = jnp.max(jnp.abs(rows), axis=1)
+            scale = 32767.0 / jnp.maximum(absmax, 1e-9)
+            seg = jnp.round(rows * scale[:, None]).astype(jnp.int16)
+            return seg, absmax
 
-            # RMS envelope transfer (change_rms, pipeline.py:29-61)
-            src = src16.astype(jnp.float32) / 32767.0
-            rms1 = rms_frames(src, f1_len, f1_hop, nf1)
-            rms2 = rms_frames(audio, f2_len, f2_hop, nf2)
-            n1 = 1 + n16 // f1_hop
-            n2 = 1 + n_out // f2_hop
-            g1 = interp_to(rms1, n1, n_out, l48b)
-            g2 = jnp.maximum(interp_to(rms2, n2, n_out, l48b), 1e-6)
-            gain = jnp.power(g1, 1.0 - rate) * jnp.power(g2, rate - 1.0)
-            audio = jnp.where(rate != 1.0, audio * gain, audio)
-
-            valid = jnp.arange(l48b) < n_out
-            audio = jnp.where(valid, audio, 0.0)
-            amax = jnp.max(jnp.abs(audio)) / 0.99
-            factor = jnp.where(amax > 1.0, 32768.0 / amax, 32768.0)
-            return (audio * factor).astype(jnp.int16)
-
-        self._finalize_fns[key] = fn
+        self._trim_fns[row_len] = fn
         return fn
+
+    def _rows_to_audio(self, fetched_rows):
+        """[(seg int16 (n,), absmax)] -> concatenated float32 audio."""
+        parts = [
+            seg.astype(np.float32) * (float(am) / 32767.0)
+            for seg, am in fetched_rows
+        ]
+        return (
+            np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        )
+
+    def _host_finalize(self, source16k: np.ndarray, audio_opt: np.ndarray,
+                       opts: ConversionOptions):
+        """Reference post-processing on host (pipeline.py:449-461):
+        RMS envelope mix, optional resample, int16 normalize."""
+        out_sr = self.tgt_sr
+        if opts.volume_envelope != 1.0 and audio_opt.size:
+            audio_opt = change_rms_np(
+                source16k, self.engine.sample_rate, audio_opt, self.tgt_sr,
+                opts.volume_envelope,
+            )
+        if (
+            opts.resample_sr >= self.engine.sample_rate
+            and opts.resample_sr != self.tgt_sr
+        ):
+            import math as _math
+            from scipy.signal import resample_poly
+
+            g = _math.gcd(self.tgt_sr, opts.resample_sr)
+            audio_opt = resample_poly(
+                audio_opt, opts.resample_sr // g, self.tgt_sr // g
+            )
+            out_sr = opts.resample_sr
+
+        audio_max = np.abs(audio_opt).max() / 0.99 if audio_opt.size else 0.0
+        max_int16 = 32768.0
+        if audio_max > 1:
+            max_int16 /= audio_max
+        return (audio_opt * max_int16).astype(np.int16), out_sr
 
     # ------------------------------------------------------------------
     # full pipeline
@@ -757,76 +746,29 @@ class VoiceConverter:
             # with this one's execution and with host-side prep
             pending.append((out, valid_frames))
 
-        all_valid = [v for _, vf in pending for v in vf]
-        total_out = sum(
-            max(v * upp - 2 * t_pad_tgt, 0) for v in all_valid
-        )
-        needs_resample = (
-            opts.resample_sr >= eng.sample_rate
-            and opts.resample_sr != self.tgt_sr
-        )
-
-        if not needs_resample:
-            # device-side finalize: trim/concat via dynamic slices, RMS
-            # envelope transfer, normalize, int16 — one graph, one fetch
-            progress(0.92, "finalizing on device")
-            row_len = pending[0][0].shape[1]
-            # 15 s buckets: bounded compile count, little wasted compute
-            l16b = int(np.ceil(audio.shape[0] / (15 * 16000))) * 15 * 16000
-            l48b = (
-                int(np.ceil(total_out / (15 * self.tgt_sr))) * 15 * self.tgt_sr
-            )
-            fin = self._finalize_fn(
-                len(pending), eng.chunk_batch, row_len, l16b, l48b
-            )
-            v_arr = np.zeros(len(pending) * eng.chunk_batch, np.int32)
-            ci = 0
-            for _, vf in pending:
-                for v in vf:
-                    v_arr[ci] = v
-                    ci += 1
-                ci += eng.chunk_batch - len(vf)  # dummy rows keep v=0
-            src16 = np.clip(np.round(audio * 32767.0), -32768, 32767).astype(np.int16)
-            src16 = np.pad(src16, (0, l16b - len(src16)))
-            out_i16 = fin(
-                tuple(out for out, _ in pending),
-                jnp.asarray(v_arr),
-                jnp.asarray(src16),
-                jnp.int32(audio.shape[0]),
-                jnp.int32(total_out),
-                jnp.float32(opts.volume_envelope),
-            )
-            audio_int16 = np.asarray(out_i16)[:total_out]
-            progress(1.0, "done")
-            return audio_int16, self.tgt_sr
-
-        # host fallback path (output resampling requested)
-        outputs = []
+        # dispatch every batch's trim graph (still nothing synchronizes),
+        # then fetch in dispatch order: each np.asarray blocks only until
+        # ITS batch finished + transferred, overlapping the remaining
+        # batches' device compute with the host link
+        row_len = pending[0][0].shape[1]
+        trim = self._trim_fn(row_len)
+        packed = []
         for out, valid_frames in pending:
-            out = np.asarray(out)
+            v = np.zeros(eng.chunk_batch, np.int32)
+            v[: len(valid_frames)] = valid_frames
+            seg, absmax = trim(out, jnp.asarray(v))
+            packed.append((seg, absmax, valid_frames))
+
+        progress(0.92, "fetching + finalizing")
+        rows = []
+        for seg, absmax, valid_frames in packed:
+            seg_h = np.asarray(seg)
+            am_h = np.asarray(absmax)
             for row, v in enumerate(valid_frames):
-                outputs.append(out[row, t_pad_tgt : v * upp - t_pad_tgt])
-        audio_opt = np.concatenate(outputs)
-
-        if opts.volume_envelope != 1.0:
-            progress(0.92, "mixing RMS envelope")
-            audio_opt = change_rms_np(
-                audio, eng.sample_rate, audio_opt, self.tgt_sr,
-                opts.volume_envelope,
-            )
-        from scipy.signal import resample_poly
-        import math as _math
-
-        g = _math.gcd(self.tgt_sr, opts.resample_sr)
-        audio_opt = resample_poly(
-            audio_opt, opts.resample_sr // g, self.tgt_sr // g
-        )
-        out_sr = opts.resample_sr
-
-        audio_max = np.abs(audio_opt).max() / 0.99
-        max_int16 = 32768.0
-        if audio_max > 1:
-            max_int16 /= audio_max
-        audio_int16 = (audio_opt * max_int16).astype(np.int16)
+                n = max(v * upp - 2 * t_pad_tgt, 0)
+                if n:
+                    rows.append((seg_h[row, :n], am_h[row]))
+        audio_opt = self._rows_to_audio(rows)
+        audio_int16, out_sr = self._host_finalize(audio, audio_opt, opts)
         progress(1.0, "done")
         return audio_int16, out_sr
