@@ -175,31 +175,21 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
         if use_pallas and x.shape[1] <= 128:
             # fused Pallas path: the low-channel stages run ~6% MXU util
             # under XLA's conv lowering (see ops/pallas_resblock.py).
-            # Wider time tiles at low C cut the halo-recompute fraction
-            # (VMEM-bounded: weights+im2col scale with C)
+            # Tile sizes from the v5e sweep (tools/bench_dec_stages.py):
+            # the widest tile VMEM admits wins — halo recompute shrinks,
+            # and the M=C_out MXU underfill is a hardware floor at low C,
+            # so time is the only axis left to amortize. C >= 256 runs
+            # XLA (implicit GEMM fills the MXU there; the per-resblock
+            # pallas variant measured no better).
             from ..ops.pallas_resblock import fused_resblock_group
 
-            tile = 2048 if x.shape[1] <= 32 else 1024 if x.shape[1] <= 64 else 512
+            tile = 4096 if x.shape[1] <= 32 else 2048 if x.shape[1] <= 64 else 1024
             x = fused_resblock_group(
                 x, stage_params,
                 kernel_sizes=[k for k, _ in kd],
                 dilations=[d for _, d in kd],
                 time_tile=tile,
             )
-        elif use_pallas and x.shape[1] <= 256:
-            # C=256: one resblock's weights fit VMEM, all three don't —
-            # run per-resblock kernels and mean outside
-            from ..ops.pallas_resblock import fused_resblock_group
-
-            acc = None
-            for j in range(num_kernels):
-                ksz, dil = kd[j]
-                r = fused_resblock_group(
-                    x, [stage_params[j]], kernel_sizes=[ksz], dilations=[dil],
-                    time_tile=256,
-                )
-                acc = r if acc is None else acc + r
-            x = acc / num_kernels
         else:
             acc = None
             for j in range(num_kernels):

@@ -65,17 +65,10 @@ def _conv_block_res(x, p):
     return y + x
 
 
-def _block_chain(x, blocks, use_pallas: bool):
-    """Run a ConvBlockRes chain; fused Pallas kernel where it pays
-    (low-channel stages, B=1 — see ops/pallas_unet.py)."""
-    c_out = blocks[0]["conv1"]["w"].shape[0]
-    c_in = blocks[0]["conv1"]["w"].shape[1]
-    if use_pallas and c_out <= 128 and x.shape[0] == 1:
-        from ..ops.pallas_unet import fused_convblock_chain
-
-        # tile sized to VMEM: wide chains need narrower time tiles
-        tile = 32 if max(c_in, c_out) >= 128 else 64
-        return fused_convblock_chain(x, blocks, time_tile=tile)
+def _block_chain(x, blocks):
+    """Run a ConvBlockRes chain. Measured on v5e: XLA's conv lowering beats
+    fused Pallas variants at every stage of this net (the C=16..64 stages
+    underfill the MXU either way), so the chain stays plain XLA."""
     for blk in blocks:
         x = _conv_block_res(x, blk)
     return x
@@ -86,8 +79,7 @@ def _avg_pool_2x2(x):
     return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
 
 
-def rmvpe_salience(params, mel, *, use_pallas: bool = False,
-                   compute_dtype=jnp.float32):
+def rmvpe_salience(params, mel, *, compute_dtype=jnp.float32):
     """(B, 128, T) log-mel -> (B, T, 360) sigmoid salience (E2E.forward).
 
     T must be a multiple of 32 (five 2x poolings); callers pad reflect.
@@ -101,12 +93,12 @@ def rmvpe_salience(params, mel, *, use_pallas: bool = False,
 
     skips = []
     for enc in params["encoder"]:
-        x = _block_chain(x, enc["blocks"], use_pallas)
+        x = _block_chain(x, enc["blocks"])
         skips.append(x)
         x = _avg_pool_2x2(x)
 
     for inter in params["intermediate"]:
-        x = _block_chain(x, inter["blocks"], False)  # C=512: XLA is fine
+        x = _block_chain(x, inter["blocks"])
 
     for dec, skip in zip(params["decoder"], reversed(skips)):
         up = dec["up"]
@@ -115,18 +107,13 @@ def rmvpe_salience(params, mel, *, use_pallas: bool = False,
         )
         x = jax.nn.relu(x)
         x = jnp.concatenate([x, skip], axis=1)
-        x = _block_chain(x, dec["blocks"], use_pallas)
+        x = _block_chain(x, dec["blocks"])
 
     x = conv2d(x, params["cnn"]["w"], params["cnn"]["b"], padding=1)  # (B,3,T,128)
     b, c, t, m = x.shape
     x = x.astype(jnp.float32).swapaxes(1, 2).reshape(b, t, c * m)  # (B, T, 384)
 
-    if use_pallas and x.shape[0] == 1:
-        from ..ops.pallas_gru import bigru_pallas
-
-        x = bigru_pallas(x, params["gru"])  # (B, T, 512)
-    else:
-        x = bigru(x, params["gru"])  # (B, T, 512)
+    x = bigru(x, params["gru"])  # (B, T, 512)
     x = x @ params["fc"]["w"].astype(x.dtype) + params["fc"]["b"].astype(x.dtype)
     return jax.nn.sigmoid(x)
 

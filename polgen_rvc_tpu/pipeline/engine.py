@@ -162,23 +162,25 @@ class VoiceConverter:
             # serialized programs and forces XLA to constant-fold them.
             # mel + U-Net + decode + pitch math fuse into ONE graph: eager
             # dispatch is tunnel-latency-bound in this environment.
-            # measured on v5e: the Pallas U-Net/GRU paths do NOT beat XLA for
-            # RMVPE (C=16..64 stages can't fill the MXU either way) and bf16
-            # gives no speedup but risks argmax flips in the cents decode —
-            # keep the F0 pass XLA + fp32
-            use_pallas = False
+            # measured on v5e: XLA beats fused Pallas variants at every
+            # RMVPE stage (C=16..64 can't fill the MXU either way) and bf16
+            # gives little speedup but risks argmax flips in the cents
+            # decode — the F0 pass stays XLA + fp32
             cdt = jnp.float32
 
             @jax.jit
-            def fn(params, audio, threshold, shift_factor):
+            def fn(params, audio_i16, inv_scale, threshold, shift_factor):
+                # audio arrives int16-quantized against its own max: halves
+                # the upload through the ~37 MB/s host<->device relay (the
+                # exposed head of every conversion). -96 dB quantization
+                # noise on a signal that was int16 in the source WAV anyway.
+                audio = audio_i16.astype(jnp.float32) * inv_scale
                 mel = rmvpe_mel(audio)
                 n = mel.shape[-1]
                 pad = (-n) % 32
                 if pad:
                     mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
-                sal = rmvpe_salience(
-                    params, mel, use_pallas=use_pallas, compute_dtype=cdt
-                )[:, :n]
+                sal = rmvpe_salience(params, mel, compute_dtype=cdt)[:, :n]
                 f0_raw = salience_to_f0(sal.astype(jnp.float32), threshold)
                 # "rmvpe+" range gate, then the pitch shift + coarse
                 # quantization (pipeline.py:183-201) — all device-side so the
@@ -217,20 +219,32 @@ class VoiceConverter:
         pitch = coarse_f0_np(f0.copy(), opts.f0_min, opts.f0_max)
         return pitch, pitchf
 
-    def _rmvpe_dispatch(self, audio: np.ndarray, opts: ConversionOptions):
+    def _upload_audio(self, audio: np.ndarray):
+        """Quantize a padded signal to int16 against its own max and upload
+        ONCE: both the F0 graph and the RMS1-envelope graph read this
+        buffer, halving the exposed head transfer on the slow relay.
+        Returns (device (1, bucket) int16, inv_scale, t)."""
+        t = audio.shape[0]
+        step = _F0_FRAME_BUCKET * 160
+        bucket = max(int(np.ceil(t / step)), 1) * step
+        amax = float(np.max(np.abs(audio))) if t else 0.0
+        scale = 32767.0 / amax if amax > 0 else 1.0
+        audio_b = np.zeros(bucket, np.int16)
+        audio_b[:t] = np.round(audio * scale)
+        return jnp.asarray(audio_b)[None], np.float32(1.0 / scale), t
+
+    def _rmvpe_dispatch(self, audio: np.ndarray, opts: ConversionOptions,
+                        uploaded=None):
         """Dispatch the fused F0 graph; returns (f0_raw, pitch, pitchf)
         device arrays of shape (1, n) plus n — nothing synchronizes."""
         if self.rmvpe_params is None:
             raise RuntimeError("rmvpe weights not loaded")
-        t = audio.shape[0]
+        audio_dev, inv_scale, t = uploaded or self._upload_audio(audio)
         n = t // 160 + 1  # mel frames for this signal
-        step = _F0_FRAME_BUCKET * 160
-        bucket = int(np.ceil(t / step)) * step
-        audio_b = np.zeros(bucket, np.float32)
-        audio_b[:t] = audio
+        bucket = audio_dev.shape[1]
         shift = np.float32(2.0 ** (opts.pitch / 12.0))
         f0_raw, pitch, pitchf = self._f0_fn(bucket, opts.f0_min, opts.f0_max)(
-            self.rmvpe_params, jnp.asarray(audio_b)[None], 0.03, shift
+            self.rmvpe_params, audio_dev, inv_scale, 0.03, shift,
         )
         return f0_raw, pitch, pitchf, n
 
@@ -242,14 +256,14 @@ class VoiceConverter:
         return f0
 
     def compute_f0_device(self, audio_pad: np.ndarray, p_len: int,
-                          opts: ConversionOptions):
+                          opts: ConversionOptions, uploaded=None):
         """Device-resident F0: dispatch the fused rmvpe graph and return
         (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk graphs
         consume them without a host synchronization. Returns None when the
         method or an f0-file override requires the host path."""
         if opts.f0_method not in ("rmvpe+", "rmvpe") or opts.f0_file:
             return None
-        _, pitch, pitchf, n = self._rmvpe_dispatch(audio_pad, opts)
+        _, pitch, pitchf, n = self._rmvpe_dispatch(audio_pad, opts, uploaded)
         if n < p_len:  # cannot happen (n = t//160 + 1 >= t//window), but
             return None  # fall back rather than mis-slice
         return pitch, pitchf  # (1, P) device arrays, unfetched
@@ -406,6 +420,7 @@ class VoiceConverter:
 
         # 1) per-song prep + F0 dispatch (no sync yet)
         progress(0.05, f"planning {n_songs} songs + dispatching F0")
+        rate_on = opts.volume_envelope != 1.0
         songs = []
         for audio in audios:
             audio = highpass_filtfilt(
@@ -414,9 +429,11 @@ class VoiceConverter:
             plan = plan_chunks(audio, eng)
             p_len_full = plan.padded_audio.shape[0] // eng.window
             rec = {"audio": audio, "plan": plan, "p_len_full": p_len_full}
+            if use_f0 or rate_on:
+                rec["uploaded"] = self._upload_audio(plan.padded_audio)
             if use_f0:
                 _, pitch, pitchf, n = self._rmvpe_dispatch(
-                    plan.padded_audio, opts
+                    plan.padded_audio, opts, rec["uploaded"]
                 )
                 rec["pitch_d"], rec["pitchf_d"], rec["n"] = pitch, pitchf, n
             songs.append(rec)
@@ -443,6 +460,10 @@ class VoiceConverter:
         upp = self.synth_cfg.upp
         t_pad_tgt = self.tgt_sr * eng.x_pad
         rng = jax.random.PRNGKey(opts.seed)
+        rms_on_device = opts.volume_envelope != 1.0 and not (
+            opts.resample_sr >= eng.sample_rate
+            and opts.resample_sr != self.tgt_sr
+        )
 
         # song -> list of (bucket-local batch index, row, valid) in chunk
         # order; batches of different buckets have different row lengths, so
@@ -505,36 +526,79 @@ class VoiceConverter:
                     ids_d = jnp.asarray(ids_b)
                 out = fn(*arrs, jnp.float32(opts.index_rate),
                          jnp.float32(opts.protect), sid_d, rng, ids_d)
-                # per-batch trim + int16 pack, dispatched immediately so
-                # fetches pipeline behind later batches' compute. Per-row
-                # scales: a row's bytes never depend on the other songs
-                # sharing the batch (packing invariance)
+                # per-batch trim, dispatched immediately so fetches pipeline
+                # behind later batches' compute. Per-row handling keeps a
+                # row's result independent of the other songs sharing the
+                # batch (packing invariance). With the RMS envelope on,
+                # rows stay f32 on device for the per-song gain graphs;
+                # otherwise they quantize to int16 right here.
                 v_b = np.zeros(eng.chunk_batch, np.int32)
                 for row, (si, ci) in enumerate(group):
                     v_b[row] = placements[si][-1][2]
-                seg, absmax = self._trim_fn(out.shape[1])(
-                    out, jnp.asarray(v_b)
-                )
-                batch_outputs.append((seg, absmax))
+                if rate_on:
+                    batch_outputs.append(
+                        self._trimf_fn(out.shape[1])(out, jnp.asarray(v_b))
+                    )
+                else:
+                    seg, absmax = self._trim_fn(out.shape[1])(
+                        out, jnp.asarray(v_b)
+                    )
+                    batch_outputs.append((seg, absmax))
 
-        # 4) per-song host finalize from the pipelined int16 fetches
+        # 4) per-song finalize. With the RMS envelope on, each song's rows
+        #    (ascending output order, gathered from the shared batches) run
+        #    one whole-song gain graph — the sequential-sum knot math makes
+        #    its RMS2 values bit-identical to convert()'s windowed graphs,
+        #    so packed output equals serial output exactly.
         progress(0.85, "fetching + finalizing songs")
-        fetched: dict = {}
+        hop2 = self.tgt_sr // 2
         results = []
+        fetched: dict = {}
         for si, rec in enumerate(songs):
             batch_outputs = bucket_outputs[rec["plan"].bucket_len]
-            rows = []
-            for bi, row, v in placements[si]:
-                key = (rec["plan"].bucket_len, bi)
-                if key not in fetched:
-                    seg, absmax = batch_outputs[bi]
-                    fetched[key] = (np.asarray(seg), np.asarray(absmax))
-                seg_h, am_h = fetched[key]
-                n = max(v * upp - 2 * t_pad_tgt, 0)
-                if n:
-                    rows.append((seg_h[row, :n], am_h[row]))
+            my = placements[si]
+            out_lens = [max(v * upp - 2 * t_pad_tgt, 0) for _, _, v in my]
+            n_out = int(sum(out_lens))
+            offsets = np.concatenate(
+                [[0], np.cumsum(out_lens)]
+            )[:-1].astype(np.int64)
+            if rate_on and my:
+                out_len = batch_outputs[my[0][0]].shape[1]
+                row_list = [batch_outputs[bi][row] for bi, row, _ in my]
+                stacked = jnp.stack(row_list, axis=0)
+                up = rec["uploaded"]
+                rms1k = self._rms1_fn(up[0].shape[1])(
+                    up[0], up[1], jnp.int32(eng.t_pad),
+                    jnp.int32(rec["audio"].shape[0]),
+                )
+                n1 = 1 + rec["audio"].shape[0] // (eng.sample_rate // 2)
+                n2 = 1 + n_out // hop2
+                nf1 = 1 + up[0].shape[1] // 8000
+                gfn = self._gain_rows_fn(
+                    len(my), out_len, nf1, 0, len(my)
+                )
+                seg, am = gfn(
+                    stacked, jnp.asarray(offsets, jnp.int32), rms1k,
+                    jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out),
+                    jnp.int32(0), jnp.float32(opts.volume_envelope),
+                )
+                seg_h, am_h = np.asarray(seg), np.asarray(am)
+                rows = [
+                    (seg_h[j, :n], am_h[j])
+                    for j, n in enumerate(out_lens) if n
+                ]
+            else:
+                rows = []
+                for (bi, row, v), n in zip(my, out_lens):
+                    key = (rec["plan"].bucket_len, bi)
+                    if key not in fetched:
+                        seg, absmax = batch_outputs[bi]
+                        fetched[key] = (np.asarray(seg), np.asarray(absmax))
+                    seg_h, am_h = fetched[key]
+                    if n:
+                        rows.append((seg_h[row, :n], am_h[row]))
             audio_opt = self._rows_to_audio(rows)
-            results.append(self._host_finalize(rec["audio"], audio_opt, opts))
+            results.append(self._host_finalize(audio_opt, opts))
         progress(1.0, "batch done")
         return results
 
@@ -576,6 +640,130 @@ class VoiceConverter:
         self._trim_fns[row_len] = fn
         return fn
 
+    def _trimf_fn(self, row_len: int):
+        """Trim-only variant of _trim_fn: (B, row_len) f32 chunk outputs ->
+        (B, out_len) f32 valid rows (masked), kept on device for the RMS
+        gain graph."""
+        key = ("trimf", row_len)
+        if key in self._trim_fns:
+            return self._trim_fns[key]
+        t_pad_tgt = self.tgt_sr * self.engine.x_pad
+        out_len = row_len - 2 * t_pad_tgt
+        upp = self.synth_cfg.upp
+
+        @jax.jit
+        def fn(out_b, v_arr):
+            valid = jnp.maximum(v_arr * upp - 2 * t_pad_tgt, 0)
+            rows = out_b[:, t_pad_tgt : t_pad_tgt + out_len]
+            idx = jnp.arange(out_len)[None, :]
+            return jnp.where(idx < valid[:, None], rows, 0.0)
+
+        self._trim_fns[key] = fn
+        return fn
+
+    def _rms1_fn(self, bucket: int):
+        """RMS knots of the 16 kHz source from the already-uploaded padded
+        int16 signal: librosa rms(frame=16000, hop=8000, center) semantics
+        via one cumulative sum (change_rms's rms1, pipeline.py:29-61)."""
+        key = ("rms1", bucket)
+        if key in self._trim_fns:
+            return self._trim_fns[key]
+        nf1 = 1 + bucket // 8000
+
+        @jax.jit
+        def fn(audio_i16, inv_scale, start, n16):
+            src = audio_i16[0].astype(jnp.float32) * inv_scale
+            # window of the true signal: [start, start + n16) — zero the
+            # reflect padding around it before summing
+            idx = jnp.arange(bucket)
+            src = jnp.where((idx >= start) & (idx < start + n16), src, 0.0)
+            src = jnp.roll(src, -start)  # signal now begins at index 0
+            c = jnp.concatenate([jnp.zeros(1), jnp.cumsum(src * src)])
+            k = jnp.arange(nf1)
+            lo = jnp.clip(k * 8000 - 8000, 0, bucket)
+            hi = jnp.clip(k * 8000 + 8000, 0, bucket)
+            return jnp.sqrt((c[hi] - c[lo]) / 16000.0)  # (nf1,)
+
+        self._trim_fns[key] = fn
+        return fn
+
+    def _gain_rows_fn(self, n_rows: int, out_len: int, nf1: int,
+                      emit_lo: int, emit_hi: int):
+        """RMS-envelope gain applied on device to trimmed rows.
+
+        rows: (n_rows, out_len) f32 valid-masked rows whose global output
+        positions are `offsets`; rms2 knots (librosa rms frame=tgt_sr,
+        hop=tgt_sr/2 over the FULL concatenated output) are reconstructed
+        exactly from per-row cumulative sums — windows crossing row or
+        batch boundaries sum contributions from every supplied row, so a
+        1-batch neighborhood suffices in the streaming pipeline and a
+        whole-song row set in batch mode gives bit-identical values.
+        Emits rows [emit_lo, emit_hi) as int16 + per-row absmax (same
+        contract as _trim_fn). Mirrors change_rms (pipeline.py:29-61) +
+        the old device finalize's interpolation."""
+        key = ("gain", n_rows, out_len, nf1, emit_lo, emit_hi)
+        if key in self._trim_fns:
+            return self._trim_fns[key]
+        hop2 = self.tgt_sr // 2
+        frame2 = hop2 * 2
+        n_emit = emit_hi - emit_lo
+        # every rms2 knot whose window any supplied row can touch
+        n_knots = n_rows * out_len // hop2 + 4
+
+        @jax.jit
+        def fn(rows, offsets, rms1, n1, n2, n_out, k0, rate):
+            c = jnp.concatenate(
+                [jnp.zeros((n_rows, 1)), jnp.cumsum(rows * rows, axis=1)],
+                axis=1,
+            )
+            k = k0 + jnp.arange(n_knots)  # global knot ids
+            glo = k * hop2 - hop2
+            ghi = k * hop2 + hop2
+            lo_r = jnp.clip(glo[None, :] - offsets[:, None], 0, out_len)
+            hi_r = jnp.clip(ghi[None, :] - offsets[:, None], 0, out_len)
+            sums = (
+                jnp.take_along_axis(c, hi_r, axis=1)
+                - jnp.take_along_axis(c, lo_r, axis=1)
+            )
+            # sequential sum in ascending row order: rows outside a knot's
+            # window contribute an exact 0.0, so the addend sequence — and
+            # therefore every bit of rms2 — is identical whether the rows
+            # are a 1-batch neighborhood (convert) or a whole song
+            # (convert_batch). jnp.sum's reduction tree would not be.
+            total = sums[0]
+            for r in range(1, n_rows):
+                total = total + sums[r]
+            rms2 = jnp.sqrt(total / frame2)  # (n_knots,)
+
+            def interp(vals, pos, n_valid, local0):
+                pos = jnp.clip(pos, 0.0, n_valid.astype(jnp.float32) - 1.0)
+                lo = jnp.floor(pos).astype(jnp.int32)
+                hi = jnp.minimum(lo + 1, n_valid - 1)
+                frac = pos - lo.astype(jnp.float32)
+                size = vals.shape[0]
+                lo = jnp.clip(lo - local0, 0, size - 1)
+                hi = jnp.clip(hi - local0, 0, size - 1)
+                return vals[lo] * (1 - frac) + vals[hi] * frac
+
+            idx = (
+                offsets[emit_lo:emit_hi, None]
+                + jnp.arange(out_len)[None, :]
+            ).astype(jnp.float32)  # (n_emit, out_len) global positions
+            fn_out = n_out.astype(jnp.float32)
+            pos1 = (idx + 0.5) * (n1.astype(jnp.float32) / fn_out) - 0.5
+            pos2 = (idx + 0.5) * (n2.astype(jnp.float32) / fn_out) - 0.5
+            g1 = interp(rms1, pos1, n1, 0)
+            g2 = jnp.maximum(interp(rms2, pos2, n2, k0), 1e-6)
+            gain = jnp.power(g1, 1.0 - rate) * jnp.power(g2, rate - 1.0)
+            gained = rows[emit_lo:emit_hi] * gain
+            absmax = jnp.max(jnp.abs(gained), axis=1)
+            scale = 32767.0 / jnp.maximum(absmax, 1e-9)
+            seg = jnp.round(gained * scale[:, None]).astype(jnp.int16)
+            return seg, absmax
+
+        self._trim_fns[key] = fn
+        return fn
+
     def _rows_to_audio(self, fetched_rows):
         """[(seg int16 (n,), absmax)] -> concatenated float32 audio."""
         parts = [
@@ -586,16 +774,13 @@ class VoiceConverter:
             np.concatenate(parts) if parts else np.zeros(0, np.float32)
         )
 
-    def _host_finalize(self, source16k: np.ndarray, audio_opt: np.ndarray,
+    def _host_finalize(self, audio_opt: np.ndarray,
                        opts: ConversionOptions):
-        """Reference post-processing on host (pipeline.py:449-461):
-        RMS envelope mix, optional resample, int16 normalize."""
+        """Host tail of the reference post-processing (pipeline.py:454-461):
+        optional resample + int16 normalize. The RMS envelope mix already
+        happened on device (_gain_rows_fn) — this host's CPU takes seconds
+        for the 8M-sample numpy version."""
         out_sr = self.tgt_sr
-        if opts.volume_envelope != 1.0 and audio_opt.size:
-            audio_opt = change_rms_np(
-                source16k, self.engine.sample_rate, audio_opt, self.tgt_sr,
-                opts.volume_envelope,
-            )
         if (
             opts.resample_sr >= self.engine.sample_rate
             and opts.resample_sr != self.tgt_sr
@@ -639,6 +824,17 @@ class VoiceConverter:
         plan = plan_chunks(audio, eng)
         p_len_full = plan.padded_audio.shape[0] // eng.window
 
+        rate_on = opts.volume_envelope != 1.0
+        devf0_wanted = (
+            use_f0 and opts.f0_method in ("rmvpe+", "rmvpe")
+            and not opts.f0_file and self.rmvpe_params is not None
+        )
+        uploaded = None
+        if rate_on or devf0_wanted:
+            # one int16 upload of the padded signal feeds both the F0 graph
+            # and the RMS1-envelope graph
+            uploaded = self._upload_audio(plan.padded_audio)
+
         pitch_full = pitchf_full = None
         pitch_dev = pitchf_dev = None
         if use_f0:
@@ -646,7 +842,9 @@ class VoiceConverter:
             # rmvpe: dispatch the fused F0 graph and keep the result on
             # device — chunk graphs slice it there, so F0 overlaps host-side
             # chunk prep and nothing synchronizes until the final fetch
-            dev = self.compute_f0_device(plan.padded_audio, p_len_full, opts)
+            dev = self.compute_f0_device(
+                plan.padded_audio, p_len_full, opts, uploaded
+            )
             if dev is not None:
                 pitch_dev, pitchf_dev = dev
                 if self.mesh is not None:
@@ -674,9 +872,67 @@ class VoiceConverter:
         t_pad_tgt = self.tgt_sr * eng.x_pad
         window = eng.window
         rng = jax.random.PRNGKey(opts.seed)
+        n_chunks = len(plan.chunks)
+        B = eng.chunk_batch
+        n_batches = -(-n_chunks // B)
+        row_len = p_len * upp
+        out_len = row_len - 2 * t_pad_tgt
+
+        # every chunk's valid length and global output offset is known
+        # up front — the RMS gain graphs need them before any fetch
+        chunk_v = []
+        for c in plan.chunks:
+            slice_len = c.slice_end - c.slice_start
+            chunk_v.append(min(slice_len // window,
+                               2 * self.hubert_cfg.num_frames(slice_len),
+                               p_len))
+        chunk_outn = [max(v * upp - 2 * t_pad_tgt, 0) for v in chunk_v]
+        chunk_off = np.concatenate([[0], np.cumsum(chunk_outn)])[:-1].astype(
+            np.int64
+        )
+        n_out_total = int(sum(chunk_outn))
+        hop2 = self.tgt_sr // 2
+
+        rms1k = None
+        if rate_on:
+            # RMS1 knots of the source, from the shared upload
+            rms1k = self._rms1_fn(uploaded[0].shape[1])(
+                uploaded[0], uploaded[1], jnp.int32(eng.t_pad),
+                jnp.int32(audio.shape[0]),
+            )
+            n1 = 1 + audio.shape[0] // (eng.sample_rate // 2)
+            n2 = 1 + n_out_total // hop2
+            nf1 = 1 + uploaded[0].shape[1] // 8000
+            trimf = self._trimf_fn(row_len)
+            zero_rows = jnp.zeros((B, out_len), jnp.float32)
+            rows_fp: list = []
+            gained: list = []
+
+            def dispatch_gain(bi):
+                """Gain + int16 for batch bi from its 1-batch neighborhood
+                (rows ascend in global order; zero rows add exactly 0)."""
+                prev = rows_fp[bi - 1] if bi > 0 else zero_rows
+                nxt = (
+                    rows_fp[bi + 1] if bi + 1 < len(rows_fp) else zero_rows
+                )
+                stacked = jnp.concatenate([prev, rows_fp[bi], nxt], axis=0)
+                offs = np.zeros(3 * B, np.int64)
+                for j, bj in enumerate((bi - 1, bi, bi + 1)):
+                    if 0 <= bj < n_batches:
+                        for r in range(B):
+                            ci = bj * B + r
+                            if ci < n_chunks:
+                                offs[j * B + r] = chunk_off[ci]
+                k0 = max(0, int(chunk_off[min(bi * B, n_chunks - 1)])
+                         // hop2 - 2)
+                gfn = self._gain_rows_fn(3 * B, out_len, nf1, B, 2 * B)
+                return gfn(
+                    stacked, jnp.asarray(offs, jnp.int32), rms1k,
+                    jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out_total),
+                    jnp.int32(k0), jnp.float32(opts.volume_envelope),
+                )
 
         pending = []  # (device_out, valid_frames) — dispatch all, fetch later
-        n_chunks = len(plan.chunks)
         for g0 in range(0, n_chunks, eng.chunk_batch):
             idxs = list(range(g0, min(g0 + eng.chunk_batch, n_chunks)))
             pad_rows = eng.chunk_batch - len(idxs)
@@ -693,9 +949,7 @@ class VoiceConverter:
             valid_frames = []
             for row, ci in enumerate(idxs):
                 c = plan.chunks[ci]
-                slice_len = c.slice_end - c.slice_start
-                v = min(slice_len // window,
-                        2 * self.hubert_cfg.num_frames(slice_len), p_len)
+                v = chunk_v[ci]
                 valid_frames.append(v)
                 mask_b[row, :v] = 1.0
                 f0_lo = c.slice_start // window
@@ -745,19 +999,34 @@ class VoiceConverter:
             # async dispatch: don't synchronize here — later batches overlap
             # with this one's execution and with host-side prep
             pending.append((out, valid_frames))
+            if rate_on:
+                v_b = np.zeros(eng.chunk_batch, np.int32)
+                v_b[: len(valid_frames)] = valid_frames
+                rows_fp.append(trimf(out, jnp.asarray(v_b)))
+                # 1-batch lag: batch b's gain needs batch b+1's rows (RMS2
+                # windows cross the boundary by half a frame), so its int16
+                # fetch becomes available while b+2 is still computing
+                if len(rows_fp) >= 2:
+                    gained.append(dispatch_gain(len(rows_fp) - 2))
+        if rate_on and rows_fp:
+            gained.append(dispatch_gain(len(rows_fp) - 1))
 
-        # dispatch every batch's trim graph (still nothing synchronizes),
-        # then fetch in dispatch order: each np.asarray blocks only until
-        # ITS batch finished + transferred, overlapping the remaining
-        # batches' device compute with the host link
-        row_len = pending[0][0].shape[1]
-        trim = self._trim_fn(row_len)
-        packed = []
-        for out, valid_frames in pending:
-            v = np.zeros(eng.chunk_batch, np.int32)
-            v[: len(valid_frames)] = valid_frames
-            seg, absmax = trim(out, jnp.asarray(v))
-            packed.append((seg, absmax, valid_frames))
+        # pipelined per-batch fetch: each np.asarray blocks only until ITS
+        # batch finished + transferred, overlapping the remaining batches'
+        # device compute with the host link
+        if rate_on:
+            packed = [
+                (seg, am, vf)
+                for (seg, am), (_, vf) in zip(gained, pending)
+            ]
+        else:
+            trim = self._trim_fn(row_len)
+            packed = []
+            for out, valid_frames in pending:
+                v = np.zeros(eng.chunk_batch, np.int32)
+                v[: len(valid_frames)] = valid_frames
+                seg, absmax = trim(out, jnp.asarray(v))
+                packed.append((seg, absmax, valid_frames))
 
         progress(0.92, "fetching + finalizing")
         rows = []
@@ -769,6 +1038,6 @@ class VoiceConverter:
                 if n:
                     rows.append((seg_h[row, :n], am_h[row]))
         audio_opt = self._rows_to_audio(rows)
-        audio_int16, out_sr = self._host_finalize(audio, audio_opt, opts)
+        audio_int16, out_sr = self._host_finalize(audio_opt, opts)
         progress(1.0, "done")
         return audio_int16, out_sr

@@ -40,11 +40,21 @@ def test_wav_24bit_read(tmp_path, rng):
     np.testing.assert_allclose(y[:, 0], ints / 8388608.0, atol=1e-6)
 
 
-def test_mp3_gated_without_ffmpeg(tmp_path):
+def test_mp3_gated_without_any_codec(tmp_path, monkeypatch):
+    """mp3 encodes via the ctypes lame binding now (tests/test_mp3.py); the
+    CodecUnavailable gate must still fire when BOTH the codec libraries and
+    ffmpeg are absent."""
     import shutil
+
+    from polgen_rvc_tpu.utils import mp3_codec
 
     if shutil.which("ffmpeg"):
         pytest.skip("ffmpeg present")
+
+    def no_lame():
+        raise mp3_codec.Mp3Unavailable("forced for test")
+
+    monkeypatch.setattr(mp3_codec, "_lame", no_lame)
     with pytest.raises(CodecUnavailable):
         write_audio(str(tmp_path / "x.mp3"), np.zeros(100, np.float32), 16000)
 

@@ -185,3 +185,39 @@ def test_convert_batch_packs_multiple_songs_per_dispatch(converter):
         ref, ref_sr = converter.convert(song, opts)
         assert sr == ref_sr == 48000
         np.testing.assert_array_equal(out, ref)
+
+
+def test_device_gain_matches_reference_rms_math(converter):
+    """The on-device RMS-envelope gain (_gain_rows_fn) must reproduce the
+    reference change_rms math (pipeline.py:29-61): run a conversion with
+    the envelope ON, reconstruct the same result on host by applying
+    change_rms_np to the envelope-OFF conversion's float audio, and
+    compare. Tolerance covers the pipeline's int16 row transport."""
+    from polgen_rvc_tpu.pipeline.engine import change_rms_np
+
+    audio = _song(7.0, seed=77)
+    out_on, sr = converter.convert(
+        audio, ConversionOptions(volume_envelope=0.25, seed=5)
+    )
+    out_off, _ = converter.convert(
+        audio, ConversionOptions(volume_envelope=1.0, seed=5)
+    )
+
+    # reconstruct: dequantize the rate=1 output, apply reference RMS math
+    # against the high-passed source, re-normalize
+    from polgen_rvc_tpu.ops.filters import highpass_filtfilt
+
+    src = highpass_filtfilt(np.asarray(audio, np.float64)).astype(np.float32)
+    f_off = out_off.astype(np.float32) / 32768.0
+    # undo the rate=1 path's final normalize to recover raw amplitude scale:
+    # normalization is a single global factor, and change_rms gain is
+    # scale-invariant in rms2^(rate-1) * target only up to that factor, so
+    # compare SHAPES via correlation after independent normalization.
+    want = change_rms_np(src, 16000, f_off.copy(), sr, 0.25)
+    want = want / max(np.abs(want).max(), 1e-9)
+    got = out_on.astype(np.float32)
+    got = got / max(np.abs(got).max(), 1e-9)
+    n = min(len(want), len(got))
+    err = np.abs(want[:n] - got[:n])
+    denom = np.abs(want[:n]).max()
+    assert err.max() / denom < 5e-3, f"gain mismatch {err.max() / denom}"
