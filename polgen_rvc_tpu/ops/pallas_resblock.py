@@ -26,12 +26,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def halo_for(kernel_sizes, dilations) -> int:
-    """Per-side context consumed by the deepest resblock chain."""
-    return max(
-        sum((d + 1) * (k - 1) // 2 for d in dils)
+def _conv_specs(kernel_sizes, dilations):
+    """Per-resblock flat conv list [(taps, tap_stride), ...] in execution
+    order: each dilation d yields the (d, 1) conv pair of the reference
+    ResBlock1 (residuals.py:32-53)."""
+    return tuple(
+        tuple((k, dil) for d in dils for dil in (d, 1))
         for k, dils in zip(kernel_sizes, dilations)
     )
+
+
+def _specs_halo(conv_specs) -> int:
+    return max(
+        sum(dil * (k - 1) // 2 for k, dil in specs) for specs in conv_specs
+    )
+
+
+def halo_for(kernel_sizes, dilations) -> int:
+    """Per-side context consumed by the deepest resblock chain."""
+    return _specs_halo(_conv_specs(kernel_sizes, dilations))
 
 
 def pack_resblock_weights(params_list, kernel_sizes, dilations, dtype=jnp.bfloat16):
@@ -54,9 +67,9 @@ def pack_resblock_weights(params_list, kernel_sizes, dilations, dtype=jnp.bfloat
     return packed
 
 
-def _make_kernel(C, Tt, H, kernel_sizes, dilations, lrelu_slope, n_convs,
+def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
                  n_tiles, seq_len):
-    n_res = len(kernel_sizes)
+    n_res = len(conv_specs)
 
     def kernel(x_ref, *refs):
         w_list = refs[0 : 2 * n_convs : 2]
@@ -75,13 +88,13 @@ def _make_kernel(C, Tt, H, kernel_sizes, dilations, lrelu_slope, n_convs,
 
         conv_idx = 0
         for r in range(n_res):
-            k = kernel_sizes[r]
+            specs = conv_specs[r]
             cur = x_full
             width = Tt + 2 * H
             consumed = 0  # columns trimmed from the left so far
-            for d in dilations[r]:
+            for pair_i in range(len(specs) // 2):
                 res_in = cur  # residual source for this conv pair
-                for dil in (d, 1):
+                for k, dil in specs[2 * pair_i : 2 * pair_i + 2]:
                     ext = dil * (k - 1) // 2
                     out_w = width - 2 * ext
                     src = jnp.where(cur > 0, cur, cur * lrelu_slope)
@@ -133,14 +146,25 @@ def fused_resblock_group(
     internally and trimmed on return.
     """
     b, c, t = x.shape
-    n_res = len(kernel_sizes)
-    h = halo_for(kernel_sizes, dilations)
-    kmax = max(kernel_sizes)
+    conv_specs = _conv_specs(kernel_sizes, dilations)
+    if packed is None:
+        packed = pack_resblock_weights(params_list, kernel_sizes, dilations)
+    return _fused_group_call(
+        x, packed, conv_specs, lrelu_slope=lrelu_slope, time_tile=time_tile,
+        interpret=interpret,
+    )
+
+
+def _fused_group_call(x, packed, conv_specs, *, lrelu_slope, time_tile,
+                      interpret):
+    """Shared pallas_call driver for the plain and time-folded variants."""
+    b, c, t = x.shape
+    n_res = len(conv_specs)
+    h = _specs_halo(conv_specs)
+    kmax = max(k for specs in conv_specs for k, _ in specs)
     t_pad = (-t) % time_tile
     n_tiles = (t + t_pad) // time_tile
 
-    if packed is None:
-        packed = pack_resblock_weights(params_list, kernel_sizes, dilations)
     n_convs = len(packed)
     flat_wb = [a for pair in packed for a in pair]
 
@@ -155,9 +179,7 @@ def fused_resblock_group(
     )
 
     kernel = _make_kernel(
-        c, time_tile, h, tuple(kernel_sizes),
-        tuple(tuple(d) for d in dilations), lrelu_slope, n_convs,
-        n_tiles, t,
+        c, time_tile, h, conv_specs, lrelu_slope, n_convs, n_tiles, t,
     )
 
     wb_specs = []
@@ -193,3 +215,121 @@ def fused_resblock_group(
 
     out = out.reshape(b, n_tiles, c, time_tile).swapaxes(1, 2).reshape(b, c, -1)
     return out[:, :, :t]
+
+
+# ----------------------------------------------------------------------
+# time-folded variant (space-to-depth on the sample axis)
+# ----------------------------------------------------------------------
+#
+# The decoder's late stages have C=32..64 output channels: the GEMM's M
+# dimension fills 1/4..1/2 of the MXU's 128 rows, and measured on v5e the
+# low-M matmuls also fail to spread across the TensorCore's MXUs (s1's
+# C=128 stage runs ~3.3x more passes/second than the C=32 stage). Folding
+# time by F re-expresses each dilated conv as a dilation-1 conv over T/F
+# columns with F*C channels: phase-minor layout xf[c*F + p, i] =
+# x[c, i*F + p], weights pre-scattered so that output row o*F+p collects
+# exactly the reference taps. At C=32, F=4: M=128 (full), and the K
+# granularity waste (k*32 vs multiples of 128) disappears into wider
+# folded taps. Sequence-edge zeroing stays exact because the audio length
+# at every decoder stage is a multiple of F, so unfolded edge columns
+# align with folded ones.
+
+
+def _fold_conv_weights(w, bias, dil, fold, dtype=jnp.bfloat16):
+    """(O, I, K) dilation-`dil` conv -> folded dilation-1 conv im2col pair
+    ((O*fold, k_eff*I*fold), (O*fold, 1)) in phase-minor channel layout."""
+    w = jnp.asarray(w)  # may be a tracer: folding happens at trace time
+    o, i, k = w.shape
+    ctr = (k - 1) // 2
+    # g[p, j]: unfolded offset of tap j for output phase p (static numpy)
+    g = np.arange(fold)[:, None] + (np.arange(k)[None, :] - ctr) * dil
+    off = g // fold
+    q = g - off * fold
+    omin, omax = int(off.min()), int(off.max())
+    if omin != -omax:  # the kernel assumes symmetric 'same' windows
+        raise ValueError(
+            f"asymmetric folded window for k={k} dil={dil} fold={fold}"
+        )
+    k_eff = omax - omin + 1
+    wf = jnp.zeros((o * fold, k_eff, i * fold), w.dtype)
+    for p in range(fold):
+        for j in range(k):
+            wf = wf.at[p::fold, off[p, j] - omin, q[p, j]::fold].set(
+                w[:, :, j]
+            )
+    w_im = wf.reshape(o * fold, k_eff * i * fold).astype(dtype)
+    b_f = jnp.repeat(
+        jnp.asarray(bias, jnp.float32), fold
+    ).reshape(o * fold, 1)
+    return w_im, b_f, k_eff
+
+
+def pack_folded_resblock_weights(params_list, kernel_sizes, dilations, fold,
+                                 dtype=jnp.bfloat16):
+    """Fold every conv of the group; returns (packed, conv_specs) for
+    _fused_group_call in folded space."""
+    packed = []
+    conv_specs = []
+    for r, p in enumerate(params_list):
+        specs = []
+        for i in range(len(dilations[r])):
+            for conv, dil in ((p["convs1"][i], dilations[r][i]),
+                              (p["convs2"][i], 1)):
+                w_im, b_f, k_eff = _fold_conv_weights(
+                    conv["w"], conv["b"], dil, fold, dtype
+                )
+                packed.append((w_im, b_f))
+                specs.append((k_eff, 1))
+        conv_specs.append(tuple(specs))
+    return packed, tuple(conv_specs)
+
+
+def fold_time(x, fold):
+    """(B, C, T) -> (B, C*fold, T//fold), phase-minor: row c*fold+p holds
+    samples t with t % fold == p."""
+    b, c, t = x.shape
+    return (
+        x.reshape(b, c, t // fold, fold)
+        .transpose(0, 1, 3, 2)
+        .reshape(b, c * fold, t // fold)
+    )
+
+
+def unfold_time(x, fold):
+    b, cf, tf = x.shape
+    return (
+        x.reshape(b, cf // fold, fold, tf)
+        .transpose(0, 1, 3, 2)
+        .reshape(b, cf // fold, tf * fold)
+    )
+
+
+def fused_resblock_group_folded(
+    x,
+    params_list,
+    *,
+    kernel_sizes,
+    dilations,
+    fold: int = 4,
+    lrelu_slope: float = 0.1,
+    time_tile: int = 1024,
+    interpret: bool = False,
+    packed=None,
+):
+    """Time-folded fused resblock group: numerically equivalent to
+    fused_resblock_group (and the XLA path) for T % fold == 0."""
+    b, c, t = x.shape
+    if t % fold:
+        raise ValueError(f"T={t} not a multiple of fold={fold}")
+    if packed is None:
+        packed, conv_specs = pack_folded_resblock_weights(
+            params_list, kernel_sizes, dilations, fold
+        )
+    else:
+        packed, conv_specs = packed
+    xf = fold_time(x, fold)
+    out = _fused_group_call(
+        xf, packed, conv_specs, lrelu_slope=lrelu_slope,
+        time_tile=time_tile, interpret=interpret,
+    )
+    return unfold_time(out, fold)

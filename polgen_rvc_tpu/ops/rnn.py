@@ -70,20 +70,49 @@ def bigru(x, params: dict):
     params holds torch-layout tensors: w_ih_l0, w_hh_l0, b_ih_l0, b_hh_l0 and
     the *_reverse counterparts. Matches torch.nn.GRU(bidirectional=True)
     used at /root/reference/rvc/lib/predictors/RMVPE.py:125-137.
+
+    Scan-latency layout for TPU: the two directions run as one scan (the
+    backward stream rides with its input time-flipped) and the three
+    recurrence matmuls fuse into a single (2, B, H) x (2, H, 3H) batched
+    matmul per step — one sequential chain of length T instead of two, with
+    one MXU dispatch per step instead of three. Gate math is unchanged.
     """
-    fwd = gru(
-        x,
-        params["w_ih_l0"],
-        params["w_hh_l0"],
-        params.get("b_ih_l0"),
-        params.get("b_hh_l0"),
+    b, t, _ = x.shape
+    dtype = x.dtype
+    hdim = params["w_hh_l0"].shape[1]
+
+    def prep(suffix, xs):
+        w_ih = params[f"w_ih_l0{suffix}"].astype(dtype)
+        xp = jnp.einsum("bti,gi->btg", xs, w_ih)
+        b_ih = params.get(f"b_ih_l0{suffix}")
+        if b_ih is not None:
+            xp = xp + b_ih.astype(dtype)
+        return xp
+
+    # (2, B, T, 3H): direction-major input projections, backward flipped
+    x_proj = jnp.stack([prep("", x), prep("_reverse", x[:, ::-1])])
+    # (2, H, 3H) recurrence weights, transposed for h @ w
+    w_hh = jnp.stack(
+        [params["w_hh_l0"].astype(dtype).T,
+         params["w_hh_l0_reverse"].astype(dtype).T]
     )
-    bwd = gru(
-        x,
-        params["w_ih_l0_reverse"],
-        params["w_hh_l0_reverse"],
-        params.get("b_ih_l0_reverse"),
-        params.get("b_hh_l0_reverse"),
-        reverse=True,
-    )
+    b_hh = jnp.stack(
+        [params["b_hh_l0"].astype(dtype), params["b_hh_l0_reverse"].astype(dtype)]
+    ) if params.get("b_hh_l0") is not None else jnp.zeros((2, 3 * hdim), dtype)
+
+    def step(h, xp_t):
+        # h: (2, B, H); xp_t: (2, B, 3H)
+        hg = jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh[:, None, :]
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((2, b, hdim), dtype)
+    _, hs = jax.lax.scan(step, h0, jnp.moveaxis(x_proj, 2, 0))
+    fwd = jnp.moveaxis(hs[:, 0], 0, 1)           # (B, T, H)
+    bwd = jnp.moveaxis(hs[:, 1], 0, 1)[:, ::-1]  # un-flip
     return jnp.concatenate([fwd, bwd], axis=-1)

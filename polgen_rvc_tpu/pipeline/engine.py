@@ -219,11 +219,9 @@ class VoiceConverter:
         pitch = coarse_f0_np(f0.copy(), opts.f0_min, opts.f0_max)
         return pitch, pitchf
 
-    def _upload_audio(self, audio: np.ndarray):
-        """Quantize a padded signal to int16 against its own max and upload
-        ONCE: both the F0 graph and the RMS1-envelope graph read this
-        buffer, halving the exposed head transfer on the slow relay.
-        Returns (device (1, bucket) int16, inv_scale, t)."""
+    def _quantize_audio(self, audio: np.ndarray):
+        """int16-quantize a padded signal against its own max, bucketed to
+        the F0 frame step. Returns (int16 (bucket,), inv_scale f32, t)."""
         t = audio.shape[0]
         step = _F0_FRAME_BUCKET * 160
         bucket = max(int(np.ceil(t / step)), 1) * step
@@ -231,7 +229,17 @@ class VoiceConverter:
         scale = 32767.0 / amax if amax > 0 else 1.0
         audio_b = np.zeros(bucket, np.int16)
         audio_b[:t] = np.round(audio * scale)
-        return jnp.asarray(audio_b)[None], np.float32(1.0 / scale), t
+        return audio_b, np.float32(1.0 / scale), t
+
+    def _upload_audio(self, audio: np.ndarray):
+        """Quantize a padded signal to int16 against its own max and upload
+        ONCE: the F0 graph, the RMS1-envelope graph, and the chunk graphs
+        all read this buffer — the song's only bulk host->device transfer
+        on the ~37 MB/s relay. -96 dB quantization noise on a signal that
+        was int16 in the source WAV anyway.
+        Returns (device (1, bucket) int16, inv_scale, t)."""
+        audio_b, inv_scale, t = self._quantize_audio(audio)
+        return jnp.asarray(audio_b)[None], inv_scale, t
 
     def _rmvpe_dispatch(self, audio: np.ndarray, opts: ConversionOptions,
                         uploaded=None):
@@ -294,13 +302,22 @@ class VoiceConverter:
 
     def _chunk_fn(self, bucket_len: int, batch: int, *, use_index: bool,
                   use_protect: bool, use_f0: bool,
-                  devf0_frames: Optional[int] = None):
+                  devf0_frames: Optional[int] = None,
+                  dev_wav_bucket: Optional[int] = None):
         """Jitted chunk-batch graph. With devf0_frames set, the graph takes
         the full-signal (1, devf0_frames) pitch arrays (device-resident F0
         output) plus per-row frame offsets and slices rows in-graph — no
         eager device ops, which cost a tunnel round trip each in this
-        environment."""
-        key = (bucket_len, batch, use_index, use_protect, use_f0, devf0_frames)
+        environment.
+
+        With dev_wav_bucket set, the graph additionally slices each row's
+        AUDIO window from the song's single uploaded int16 buffer
+        (shape (1, dev_wav_bucket)) instead of taking a host-gathered
+        (B, bucket_len) f32 matrix: the song uploads once (~6 MB int16)
+        and every chunk batch reads it in place, instead of re-uploading
+        overlapping f32 windows (~17 MB/song through the ~37 MB/s relay)."""
+        key = (bucket_len, batch, use_index, use_protect, use_f0, devf0_frames,
+               dev_wav_bucket)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
 
@@ -314,11 +331,28 @@ class VoiceConverter:
 
         def step(hubert_params, synth_params, bank,
                  wav, pitch, pitchf, starts, frame_mask,
-                 index_rate, protect, sid, key, chunk_ids):
+                 index_rate, protect, sid, key, chunk_ids,
+                 inv_scale=None, sample_starts=None, sample_lens=None):
             # per-row noise keys derived from (seed, song-chunk index): a
             # chunk renders identically whatever batch slot it occupies, so
             # multi-song packed batches reproduce serial conversions exactly
             row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(chunk_ids)
+            if dev_wav_bucket is not None:
+                # wav arrives as the (1, dev_wav_bucket) int16 song buffer;
+                # dequantize and slice each row's window in-graph. The
+                # in-graph zero tail keeps end-of-song slices in bounds
+                # without growing the upload (or the F0 graph's bucket),
+                # and the per-row length mask reproduces the host
+                # gather_chunk_batch zero padding exactly.
+                buf = wav[0].astype(jnp.float32) * inv_scale
+                buf = jnp.concatenate(
+                    [buf, jnp.zeros((bucket_len,), jnp.float32)]
+                )
+                wav = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(buf, (s,), (bucket_len,))
+                )(sample_starts)
+                idx = jnp.arange(bucket_len)[None, :]
+                wav = jnp.where(idx < sample_lens[:, None], wav, 0.0)
             if use_f0 and devf0_frames is not None:
                 # pitch/pitchf arrive as the full-signal (1, P) F0 output;
                 # slice each row's window in-graph (pad first so the slices
@@ -369,11 +403,11 @@ class VoiceConverter:
         jitted = jax.jit(step)
 
         def fn(wav, pitch, pitchf, starts, frame_mask,
-               index_rate, protect, sid, key, chunk_ids):
+               index_rate, protect, sid, key, chunk_ids, *dev_wav_args):
             return jitted(
                 self.hubert_params, self.synth_params, self.index_bank,
                 wav, pitch, pitchf, starts, frame_mask,
-                index_rate, protect, sid, key, chunk_ids,
+                index_rate, protect, sid, key, chunk_ids, *dev_wav_args,
             )
 
         self._chunk_fns[key] = (fn, p_len)
@@ -429,8 +463,14 @@ class VoiceConverter:
             plan = plan_chunks(audio, eng)
             p_len_full = plan.padded_audio.shape[0] // eng.window
             rec = {"audio": audio, "plan": plan, "p_len_full": p_len_full}
+            # chunk rows gather on host here (batches mix songs, so rows
+            # cannot all slice one device buffer) — from the DEQUANTIZED
+            # signal, so packed rows are bit-identical to convert()'s
+            # device-sliced rows
+            qbuf, inv_scale, t = self._quantize_audio(plan.padded_audio)
+            plan.padded_audio = qbuf[:t].astype(np.float32) * inv_scale
             if use_f0 or rate_on:
-                rec["uploaded"] = self._upload_audio(plan.padded_audio)
+                rec["uploaded"] = (jnp.asarray(qbuf)[None], inv_scale, t)
             if use_f0:
                 _, pitch, pitchf, n = self._rmvpe_dispatch(
                     plan.padded_audio, opts, rec["uploaded"]
@@ -829,11 +869,15 @@ class VoiceConverter:
             use_f0 and opts.f0_method in ("rmvpe+", "rmvpe")
             and not opts.f0_file and self.rmvpe_params is not None
         )
-        uploaded = None
-        if rate_on or devf0_wanted:
-            # one int16 upload of the padded signal feeds both the F0 graph
-            # and the RMS1-envelope graph
-            uploaded = self._upload_audio(plan.padded_audio)
+        # one int16 upload of the padded signal feeds the F0 graph, the
+        # RMS1-envelope graph, AND the chunk graphs (which slice their
+        # windows from it in-graph)
+        uploaded = self._upload_audio(plan.padded_audio)
+        audio_buf = uploaded[0]
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            audio_buf = replicate(audio_buf, self.mesh)
 
         pitch_full = pitchf_full = None
         pitch_dev = pitchf_dev = None
@@ -866,6 +910,7 @@ class VoiceConverter:
             devf0_frames=(
                 int(pitch_dev.shape[1]) if pitch_dev is not None else None
             ),
+            dev_wav_bucket=int(audio_buf.shape[1]),
         )
 
         upp = self.synth_cfg.upp
@@ -935,12 +980,14 @@ class VoiceConverter:
         pending = []  # (device_out, valid_frames) — dispatch all, fetch later
         for g0 in range(0, n_chunks, eng.chunk_batch):
             idxs = list(range(g0, min(g0 + eng.chunk_batch, n_chunks)))
-            pad_rows = eng.chunk_batch - len(idxs)
-            wav, lengths = gather_chunk_batch(plan, idxs, eng)
-            if pad_rows:
-                wav = np.concatenate(
-                    [wav, np.zeros((pad_rows, wav.shape[1]), np.float32)]
-                )
+            # device-side audio slicing: rows address the uploaded buffer;
+            # padding rows read a zero-length window
+            samp_starts = np.zeros(eng.chunk_batch, np.int32)
+            samp_lens = np.zeros(eng.chunk_batch, np.int32)
+            for row, ci in enumerate(idxs):
+                c = plan.chunks[ci]
+                samp_starts[row] = c.slice_start
+                samp_lens[row] = c.slice_end - c.slice_start
 
             pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
             pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
@@ -973,7 +1020,6 @@ class VoiceConverter:
             if self.mesh is not None:
                 from ..parallel.mesh import shard_batch
 
-                wav_d = shard_batch(jnp.asarray(wav), self.mesh)
                 if pitch_dev is not None:
                     pitch_d, pitchf_d = pitch_rows, pitchf_rows  # replicated
                 else:
@@ -983,18 +1029,23 @@ class VoiceConverter:
                 mask_d = shard_batch(jnp.asarray(mask_b), self.mesh)
                 sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
                 ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
+                sstart_d = shard_batch(jnp.asarray(samp_starts), self.mesh)
+                slen_d = shard_batch(jnp.asarray(samp_lens), self.mesh)
             else:
                 pitch_d = pitch_rows if pitch_dev is not None else jnp.asarray(pitch_rows)
                 pitchf_d = pitchf_rows if pitch_dev is not None else jnp.asarray(pitchf_rows)
-                wav_d, starts_d, mask_d, sid_d, ids_d = (
-                    jnp.asarray(wav), jnp.asarray(starts),
+                starts_d, mask_d, sid_d, ids_d = (
+                    jnp.asarray(starts),
                     jnp.asarray(mask_b), jnp.asarray(sid_b),
                     jnp.asarray(ids_b),
                 )
+                sstart_d = jnp.asarray(samp_starts)
+                slen_d = jnp.asarray(samp_lens)
             out = fn(
-                wav_d, pitch_d, pitchf_d, starts_d, mask_d,
+                audio_buf, pitch_d, pitchf_d, starts_d, mask_d,
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
                 sid_d, rng, ids_d,
+                uploaded[1], sstart_d, slen_d,
             )
             # async dispatch: don't synchronize here — later batches overlap
             # with this one's execution and with host-side prep

@@ -47,6 +47,34 @@ def test_fused_matches_xla_path(rng, c, t):
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-3)  # bf16 weights
 
 
+@pytest.mark.parametrize("c,t,fold", [(32, 1024, 4), (64, 640, 2)])
+def test_folded_matches_xla_path(rng, c, t, fold):
+    """Time-folded kernel (space-to-depth on samples, MXU M-fill for the
+    C=32/64 decoder stages) must match the reference-semantics XLA path."""
+    from polgen_rvc_tpu.ops.pallas_resblock import fused_resblock_group_folded
+
+    kernel_sizes = (3, 7, 11)
+    dilations = ((1, 3, 5),) * 3
+    params = _mk_params(rng, c, kernel_sizes, dilations)
+    x = (rng.standard_normal((2, c, t)) * 0.3).astype(np.float32)
+
+    ref = None
+    for r, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
+        y = resblock(jnp.asarray(x), params[r], kernel_size=k, dilations=dils)
+        ref = y if ref is None else ref + y
+    ref = np.asarray(ref) / len(kernel_sizes)
+
+    got = np.asarray(
+        fused_resblock_group_folded(
+            jnp.asarray(x), params,
+            kernel_sizes=kernel_sizes, dilations=dilations, fold=fold,
+            time_tile=64, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-3)  # bf16 weights
+
+
 def test_halo():
     assert halo_for((3,), ((1, 3, 5),)) == (2 + 4 + 6) * 1
     assert halo_for((11,), ((1, 3, 5),)) == 60
