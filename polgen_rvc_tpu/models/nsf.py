@@ -172,15 +172,29 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
         stage_params = [
             params["resblocks"][i * num_kernels + j] for j in range(num_kernels)
         ]
-        if use_pallas and x.shape[1] <= 128:
+        if use_pallas and x.shape[1] <= 32 and x.shape[2] % 4 == 0:
+            # time-folded kernel (tools/bench_fold.py on v5e): folding 4
+            # samples into channels presents M=128 to the MXU — 0.075 s vs
+            # 0.185 s plain at the bench C=32 stage. Folding C=64 measured
+            # SLOWER (equal MXU passes + transpose cost), so only the last
+            # stage folds.
+            from ..ops.pallas_resblock import fused_resblock_group_folded
+
+            x = fused_resblock_group_folded(
+                x, stage_params,
+                kernel_sizes=[k for k, _ in kd],
+                dilations=[d for _, d in kd],
+                fold=4, time_tile=1024,
+            )
+        elif use_pallas and x.shape[1] <= 128:
             # fused Pallas path: the low-channel stages run ~6% MXU util
             # under XLA's conv lowering (see ops/pallas_resblock.py).
             # Tile sizes from the v5e sweep (tools/bench_dec_stages.py):
             # the widest tile VMEM admits wins — halo recompute shrinks,
-            # and the M=C_out MXU underfill is a hardware floor at low C,
-            # so time is the only axis left to amortize. C >= 256 runs
-            # XLA (implicit GEMM fills the MXU there; the per-resblock
-            # pallas variant measured no better).
+            # and at C=64/128 the M=C_out MXU underfill is a hardware
+            # floor, so time is the only axis left to amortize. C >= 256
+            # runs XLA (implicit GEMM fills the MXU there; the
+            # per-resblock pallas variant measured no better).
             from ..ops.pallas_resblock import fused_resblock_group
 
             tile = 4096 if x.shape[1] <= 32 else 2048 if x.shape[1] <= 64 else 1024

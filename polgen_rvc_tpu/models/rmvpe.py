@@ -65,10 +65,31 @@ def _conv_block_res(x, p):
     return y + x
 
 
-def _block_chain(x, blocks):
-    """Run a ConvBlockRes chain. Measured on v5e: XLA's conv lowering beats
-    fused Pallas variants at every stage of this net (the C=16..64 stages
-    underfill the MXU either way), so the chain stays plain XLA."""
+def _block_chain(x, blocks, use_pallas: bool = False):
+    """Run a ConvBlockRes chain.
+
+    On TPU the C<=128 levels run the W-folded fused kernel
+    (ops/pallas_unet2d.py): folding mel columns into channels presents a
+    full M=128 / K-multiple-of-128 GEMM to the MXU, where XLA's conv
+    lowering leaves most of the array idle at C=16..64. (The round-1
+    unfolded kernel measured slower than XLA — the fold is what pays.)"""
+    c_out = int(blocks[0]["conv1"]["w"].shape[0])
+    c_in = int(blocks[0]["conv1"]["w"].shape[1])
+    w = int(x.shape[3])
+    if use_pallas and x.shape[0] == 1 and c_out <= 128:
+        fold = max(128 // c_out, 1)
+        if w % fold == 0:
+            from ..ops.pallas_unet2d import fused_convblock_chain_folded
+
+            # bf16 weights/im2col = XLA's default TPU conv precision (both
+            # round multiplicands to bf16, accumulate fp32); tiles sized so
+            # tile + 2*halo is an exact lane multiple (halo = 2 per block)
+            halo = 2 * len(blocks)
+            tile = 128 - 2 * halo  # tile + 2*halo = one exact lane tile
+            return fused_convblock_chain_folded(
+                x, blocks, fold=fold, time_tile=tile,
+                compute_dtype=jnp.bfloat16,
+            )
     for blk in blocks:
         x = _conv_block_res(x, blk)
     return x
@@ -79,7 +100,8 @@ def _avg_pool_2x2(x):
     return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
 
 
-def rmvpe_salience(params, mel, *, compute_dtype=jnp.float32):
+def rmvpe_salience(params, mel, *, compute_dtype=jnp.float32,
+                   use_pallas: bool = False):
     """(B, 128, T) log-mel -> (B, T, 360) sigmoid salience (E2E.forward).
 
     T must be a multiple of 32 (five 2x poolings); callers pad reflect.
@@ -93,12 +115,12 @@ def rmvpe_salience(params, mel, *, compute_dtype=jnp.float32):
 
     skips = []
     for enc in params["encoder"]:
-        x = _block_chain(x, enc["blocks"])
+        x = _block_chain(x, enc["blocks"], use_pallas)
         skips.append(x)
         x = _avg_pool_2x2(x)
 
     for inter in params["intermediate"]:
-        x = _block_chain(x, inter["blocks"])
+        x = _block_chain(x, inter["blocks"], use_pallas)
 
     for dec, skip in zip(params["decoder"], reversed(skips)):
         up = dec["up"]
@@ -107,7 +129,7 @@ def rmvpe_salience(params, mel, *, compute_dtype=jnp.float32):
         )
         x = jax.nn.relu(x)
         x = jnp.concatenate([x, skip], axis=1)
-        x = _block_chain(x, dec["blocks"])
+        x = _block_chain(x, dec["blocks"], use_pallas)
 
     x = conv2d(x, params["cnn"]["w"], params["cnn"]["b"], padding=1)  # (B,3,T,128)
     b, c, t, m = x.shape

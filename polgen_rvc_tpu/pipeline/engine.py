@@ -162,11 +162,12 @@ class VoiceConverter:
             # serialized programs and forces XLA to constant-fold them.
             # mel + U-Net + decode + pitch math fuse into ONE graph: eager
             # dispatch is tunnel-latency-bound in this environment.
-            # measured on v5e: XLA beats fused Pallas variants at every
-            # RMVPE stage (C=16..64 can't fill the MXU either way) and bf16
-            # gives little speedup but risks argmax flips in the cents
-            # decode — the F0 pass stays XLA + fp32
+            # bf16 gives little speedup but risks argmax flips in the cents
+            # decode — the F0 pass stays fp32. On TPU the U-Net levels run
+            # the W-folded fused kernel (ops/pallas_unet2d.py) at fp32;
+            # round 1's UNfolded kernel lost to XLA, the M=128 fold wins.
             cdt = jnp.float32
+            use_pallas = jax.default_backend() not in ("cpu",)
 
             @jax.jit
             def fn(params, audio_i16, inv_scale, threshold, shift_factor):
@@ -180,7 +181,9 @@ class VoiceConverter:
                 pad = (-n) % 32
                 if pad:
                     mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
-                sal = rmvpe_salience(params, mel, compute_dtype=cdt)[:, :n]
+                sal = rmvpe_salience(
+                    params, mel, compute_dtype=cdt, use_pallas=use_pallas
+                )[:, :n]
                 f0_raw = salience_to_f0(sal.astype(jnp.float32), threshold)
                 # "rmvpe+" range gate, then the pitch shift + coarse
                 # quantization (pipeline.py:183-201) — all device-side so the
@@ -330,7 +333,7 @@ class VoiceConverter:
         use_pallas = jax.default_backend() not in ("cpu",)
 
         def step(hubert_params, synth_params, bank,
-                 wav, pitch, pitchf, starts, frame_mask,
+                 wav, pitch, pitchf, starts, frame_mask, hub_valid,
                  index_rate, protect, sid, key, chunk_ids,
                  inv_scale=None, sample_starts=None, sample_lens=None):
             # per-row noise keys derived from (seed, song-chunk index): a
@@ -375,9 +378,19 @@ class VoiceConverter:
                 9 if (v1 and self.hubert_cfg.n_layers >= 9)
                 else self.hubert_cfg.n_layers
             )
+            # mask HuBERT's bucket-padding frames (True = padded): zeroed at
+            # input and excluded from attention, so a chunk's features are
+            # EXACTLY invariant to the bucket it rides in — per-batch
+            # buckets, song-max batch-mode buckets, and any future shape
+            # all render identically (and pad frames no longer bleed into
+            # real frames through attention, unlike an unmasked pad)
+            hub_pad_mask = (
+                jnp.arange(hub_frames)[None, :] >= hub_valid[:, None]
+            )
             feats = hubert_extract(
                 hubert_params, self.hubert_cfg, wav,
                 output_layer=out_layer, final_proj=v1, compute_dtype=cdt,
+                padding_mask=hub_pad_mask,
             )
             feats0 = feats if use_protect else None
             if use_index:
@@ -402,11 +415,11 @@ class VoiceConverter:
 
         jitted = jax.jit(step)
 
-        def fn(wav, pitch, pitchf, starts, frame_mask,
+        def fn(wav, pitch, pitchf, starts, frame_mask, hub_valid,
                index_rate, protect, sid, key, chunk_ids, *dev_wav_args):
             return jitted(
                 self.hubert_params, self.synth_params, self.index_bank,
-                wav, pitch, pitchf, starts, frame_mask,
+                wav, pitch, pitchf, starts, frame_mask, hub_valid,
                 index_rate, protect, sid, key, chunk_ids, *dev_wav_args,
             )
 
@@ -524,12 +537,16 @@ class VoiceConverter:
                 pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
                 pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
                 mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
+                hub_valid = np.zeros(eng.chunk_batch, np.int32)
                 for row, (si, ci) in enumerate(group):
                     rec = songs[si]
                     row_wav, _ = gather_chunk_batch(rec["plan"], [ci], eng)
                     wav[row] = row_wav[0]
                     c = rec["plan"].chunks[ci]
                     slice_len = c.slice_end - c.slice_start
+                    hub_valid[row] = max(
+                        self.hubert_cfg.num_frames(slice_len), 0
+                    )
                     v = min(slice_len // window,
                             2 * self.hubert_cfg.num_frames(slice_len), p_len)
                     mask_b[row, :v] = 1.0
@@ -555,13 +572,15 @@ class VoiceConverter:
 
                     arrs = [
                         shard_batch(jnp.asarray(a), self.mesh)
-                        for a in (wav, pitch_b, pitchf_b, starts_b, mask_b)
+                        for a in (wav, pitch_b, pitchf_b, starts_b, mask_b,
+                                  hub_valid)
                     ]
                     sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
                     ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
                 else:
                     arrs = [jnp.asarray(a)
-                            for a in (wav, pitch_b, pitchf_b, starts_b, mask_b)]
+                            for a in (wav, pitch_b, pitchf_b, starts_b,
+                                      mask_b, hub_valid)]
                     sid_d = jnp.asarray(sid_b)
                     ids_d = jnp.asarray(ids_b)
                 out = fn(*arrs, jnp.float32(opts.index_rate),
@@ -728,7 +747,7 @@ class VoiceConverter:
         return fn
 
     def _gain_rows_fn(self, n_rows: int, out_len: int, nf1: int,
-                      emit_lo: int, emit_hi: int):
+                      emit_lo: int, emit_hi: int, emit_len: int = None):
         """RMS-envelope gain applied on device to trimmed rows.
 
         rows: (n_rows, out_len) f32 valid-masked rows whose global output
@@ -739,9 +758,14 @@ class VoiceConverter:
         1-batch neighborhood suffices in the streaming pipeline and a
         whole-song row set in batch mode gives bit-identical values.
         Emits rows [emit_lo, emit_hi) as int16 + per-row absmax (same
-        contract as _trim_fn). Mirrors change_rms (pipeline.py:29-61) +
-        the old device finalize's interpolation."""
-        key = ("gain", n_rows, out_len, nf1, emit_lo, emit_hi)
+        contract as _trim_fn), truncated to emit_len columns (the emitted
+        batch's own bucket width — rows are zero past their valid length,
+        so truncation never drops signal and the fetch stays exact-sized).
+        Mirrors change_rms (pipeline.py:29-61) + the old device finalize's
+        interpolation."""
+        if emit_len is None:
+            emit_len = out_len
+        key = ("gain", n_rows, out_len, nf1, emit_lo, emit_hi, emit_len)
         if key in self._trim_fns:
             return self._trim_fns[key]
         hop2 = self.tgt_sr // 2
@@ -795,7 +819,7 @@ class VoiceConverter:
             g1 = interp(rms1, pos1, n1, 0)
             g2 = jnp.maximum(interp(rms2, pos2, n2, k0), 1e-6)
             gain = jnp.power(g1, 1.0 - rate) * jnp.power(g2, rate - 1.0)
-            gained = rows[emit_lo:emit_hi] * gain
+            gained = (rows[emit_lo:emit_hi] * gain)[:, :emit_len]
             absmax = jnp.max(jnp.abs(gained), axis=1)
             scale = 32767.0 / jnp.maximum(absmax, 1e-9)
             seg = jnp.round(gained * scale[:, None]).astype(jnp.int16)
@@ -904,13 +928,8 @@ class VoiceConverter:
 
         use_index = self.index_bank is not None and opts.index_rate > 0
         use_protect = use_f0 and opts.protect < 0.5
-        fn, p_len = self._chunk_fn(
-            plan.bucket_len, eng.chunk_batch,
-            use_index=use_index, use_protect=use_protect, use_f0=use_f0,
-            devf0_frames=(
-                int(pitch_dev.shape[1]) if pitch_dev is not None else None
-            ),
-            dev_wav_bucket=int(audio_buf.shape[1]),
+        devf0_frames = (
+            int(pitch_dev.shape[1]) if pitch_dev is not None else None
         )
 
         upp = self.synth_cfg.upp
@@ -920,17 +939,36 @@ class VoiceConverter:
         n_chunks = len(plan.chunks)
         B = eng.chunk_batch
         n_batches = -(-n_chunks // B)
-        row_len = p_len * upp
-        out_len = row_len - 2 * t_pad_tgt
+
+        # per-BATCH buckets: each batch of consecutive chunks compiles at
+        # the smallest bucket that fits its own chunks, not the song's
+        # longest chunk — quiet-point cuts drift +-t_query, so chunk
+        # lengths vary ~2x and song-max padding wastes ~25-45% of chunk
+        # compute. Graph count stays bounded by the 4 s bucket grid.
+        step_bucket = eng.bucket_step_s * eng.sample_rate
+        batch_idxs = [
+            list(range(g0, min(g0 + B, n_chunks)))
+            for g0 in range(0, n_chunks, B)
+        ]
+        batch_bucket = [
+            max(
+                int(np.ceil(
+                    (plan.chunks[ci].slice_end - plan.chunks[ci].slice_start)
+                    / step_bucket
+                )) * step_bucket
+                for ci in idxs
+            )
+            for idxs in batch_idxs
+        ]
 
         # every chunk's valid length and global output offset is known
-        # up front — the RMS gain graphs need them before any fetch
+        # up front — the RMS gain graphs need them before any fetch.
+        # v is bucket-independent: any admitted bucket >= the chunk length.
         chunk_v = []
         for c in plan.chunks:
             slice_len = c.slice_end - c.slice_start
             chunk_v.append(min(slice_len // window,
-                               2 * self.hubert_cfg.num_frames(slice_len),
-                               p_len))
+                               2 * self.hubert_cfg.num_frames(slice_len)))
         chunk_outn = [max(v * upp - 2 * t_pad_tgt, 0) for v in chunk_v]
         chunk_off = np.concatenate([[0], np.cumsum(chunk_outn)])[:-1].astype(
             np.int64
@@ -948,8 +986,15 @@ class VoiceConverter:
             n1 = 1 + audio.shape[0] // (eng.sample_rate // 2)
             n2 = 1 + n_out_total // hop2
             nf1 = 1 + uploaded[0].shape[1] // 8000
-            trimf = self._trimf_fn(row_len)
-            zero_rows = jnp.zeros((B, out_len), jnp.float32)
+            # gain rows live at the SONG-max width so neighborhoods from
+            # different-bucket batches stack; the zero tail beyond a row's
+            # own out_len adds an exact 0 to every knot sum
+            p_len_max = min(
+                plan.bucket_len // window,
+                2 * self.hubert_cfg.num_frames(plan.bucket_len),
+            )
+            out_len_max = p_len_max * upp - 2 * t_pad_tgt
+            zero_rows = jnp.zeros((B, out_len_max), jnp.float32)
             rows_fp: list = []
             gained: list = []
 
@@ -970,7 +1015,15 @@ class VoiceConverter:
                                 offs[j * B + r] = chunk_off[ci]
                 k0 = max(0, int(chunk_off[min(bi * B, n_chunks - 1)])
                          // hop2 - 2)
-                gfn = self._gain_rows_fn(3 * B, out_len, nf1, B, 2 * B)
+                # emit at batch bi's own width: fetched bytes stay exact
+                emit_len = (
+                    min(batch_bucket[bi] // window,
+                        2 * self.hubert_cfg.num_frames(batch_bucket[bi]))
+                    * upp - 2 * t_pad_tgt
+                )
+                gfn = self._gain_rows_fn(
+                    3 * B, out_len_max, nf1, B, 2 * B, emit_len
+                )
                 return gfn(
                     stacked, jnp.asarray(offs, jnp.int32), rms1k,
                     jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out_total),
@@ -978,16 +1031,26 @@ class VoiceConverter:
                 )
 
         pending = []  # (device_out, valid_frames) — dispatch all, fetch later
-        for g0 in range(0, n_chunks, eng.chunk_batch):
-            idxs = list(range(g0, min(g0 + eng.chunk_batch, n_chunks)))
+        for bi, idxs in enumerate(batch_idxs):
+            g0 = idxs[0]
+            fn, p_len = self._chunk_fn(
+                batch_bucket[bi], eng.chunk_batch,
+                use_index=use_index, use_protect=use_protect, use_f0=use_f0,
+                devf0_frames=devf0_frames,
+                dev_wav_bucket=int(audio_buf.shape[1]),
+            )
             # device-side audio slicing: rows address the uploaded buffer;
             # padding rows read a zero-length window
             samp_starts = np.zeros(eng.chunk_batch, np.int32)
             samp_lens = np.zeros(eng.chunk_batch, np.int32)
+            hub_valid = np.zeros(eng.chunk_batch, np.int32)
             for row, ci in enumerate(idxs):
                 c = plan.chunks[ci]
                 samp_starts[row] = c.slice_start
                 samp_lens[row] = c.slice_end - c.slice_start
+                hub_valid[row] = max(
+                    self.hubert_cfg.num_frames(int(samp_lens[row])), 0
+                )
 
             pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
             pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
@@ -1031,6 +1094,7 @@ class VoiceConverter:
                 ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
                 sstart_d = shard_batch(jnp.asarray(samp_starts), self.mesh)
                 slen_d = shard_batch(jnp.asarray(samp_lens), self.mesh)
+                hubv_d = shard_batch(jnp.asarray(hub_valid), self.mesh)
             else:
                 pitch_d = pitch_rows if pitch_dev is not None else jnp.asarray(pitch_rows)
                 pitchf_d = pitchf_rows if pitch_dev is not None else jnp.asarray(pitchf_rows)
@@ -1041,8 +1105,9 @@ class VoiceConverter:
                 )
                 sstart_d = jnp.asarray(samp_starts)
                 slen_d = jnp.asarray(samp_lens)
+                hubv_d = jnp.asarray(hub_valid)
             out = fn(
-                audio_buf, pitch_d, pitchf_d, starts_d, mask_d,
+                audio_buf, pitch_d, pitchf_d, starts_d, mask_d, hubv_d,
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
                 sid_d, rng, ids_d,
                 uploaded[1], sstart_d, slen_d,
@@ -1053,7 +1118,12 @@ class VoiceConverter:
             if rate_on:
                 v_b = np.zeros(eng.chunk_batch, np.int32)
                 v_b[: len(valid_frames)] = valid_frames
-                rows_fp.append(trimf(out, jnp.asarray(v_b)))
+                rf = self._trimf_fn(out.shape[1])(out, jnp.asarray(v_b))
+                if rf.shape[1] < out_len_max:
+                    rf = jnp.pad(
+                        rf, ((0, 0), (0, out_len_max - rf.shape[1]))
+                    )
+                rows_fp.append(rf)
                 # 1-batch lag: batch b's gain needs batch b+1's rows (RMS2
                 # windows cross the boundary by half a frame), so its int16
                 # fetch becomes available while b+2 is still computing
@@ -1071,12 +1141,13 @@ class VoiceConverter:
                 for (seg, am), (_, vf) in zip(gained, pending)
             ]
         else:
-            trim = self._trim_fn(row_len)
             packed = []
             for out, valid_frames in pending:
                 v = np.zeros(eng.chunk_batch, np.int32)
                 v[: len(valid_frames)] = valid_frames
-                seg, absmax = trim(out, jnp.asarray(v))
+                seg, absmax = self._trim_fn(out.shape[1])(
+                    out, jnp.asarray(v)
+                )
                 packed.append((seg, absmax, valid_frames))
 
         progress(0.92, "fetching + finalizing")

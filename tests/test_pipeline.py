@@ -94,8 +94,14 @@ def test_engine_long_convert_uses_chunks_no_recompile(converter):
     n_compiled_before = len(converter._chunk_fns)
     out, sr = converter.convert(audio, ConversionOptions())
     assert abs(len(out) - 20 * 48000) < 48000
-    # exactly one chunk graph compiled for the whole song
-    assert len(converter._chunk_fns) - n_compiled_before <= 1
+    # one chunk graph per distinct per-batch bucket size (4 s grid), and a
+    # repeat conversion compiles NOTHING new — the zero-recompile guarantee
+    step = converter.engine.bucket_step_s * converter.engine.sample_rate
+    n_new = len(converter._chunk_fns) - n_compiled_before
+    assert n_new <= max(converter.engine.t_max // step, 1) + 1
+    n_after = len(converter._chunk_fns)
+    converter.convert(audio, ConversionOptions())
+    assert len(converter._chunk_fns) == n_after
 
 
 def test_engine_options_affect_output(converter):
