@@ -313,4 +313,59 @@ void polgen_chain_process(EffectChain* c, float* L, float* R, int64_t n) {
 
 void polgen_chain_destroy(EffectChain* c) { delete c; }
 
+// ---------------------------------------------------------------------
+// zero-phase IIR filtering: scipy.signal.filtfilt semantics
+// (odd edge extension, lfilter_zi initial conditions, forward-backward
+// direct-form-II-transposed in double). The engine's 48 Hz high-pass
+// (reference pipeline.py:19-22, 329) runs here instead of scipy — the
+// Python loop-free scipy path still costs ~60 ms on a 3-min song.
+// ---------------------------------------------------------------------
+
+static void polgen_lfilter(const double* b, const double* a, int order,
+                           const double* x, int64_t n, const double* zi,
+                           double* y) {
+  double z[32];
+  for (int i = 0; i < order; i++) z[i] = zi[i];
+  for (int64_t i = 0; i < n; i++) {
+    const double xi = x[i];
+    const double yi = b[0] * xi + z[0];
+    for (int j = 0; j < order - 1; j++)
+      z[j] = b[j + 1] * xi + z[j + 1] - a[j + 1] * yi;
+    z[order - 1] = b[order] * xi - a[order] * yi;
+    y[i] = yi;
+  }
+}
+
+// x: n samples; b, a: order+1 normalized (a[0]=1) coefficients;
+// zi_unit: `order` steady-state values from scipy.signal.lfilter_zi;
+// padlen: edge extension length (scipy default 3*(order+1)).
+// Returns 0 on success, -1 if n <= padlen (caller falls back to scipy).
+int polgen_filtfilt(const double* x, int64_t n, const double* b,
+                    const double* a, int order, const double* zi_unit,
+                    int64_t padlen, double* out) {
+  if (n <= padlen || order >= 32) return -1;
+  const int64_t m = n + 2 * padlen;
+  double* ext = new double[m];
+  double* y = new double[m];
+  // odd extension: 2*x[0] - x[padlen..1], x, 2*x[n-1] - x[n-2..n-1-padlen]
+  for (int64_t i = 0; i < padlen; i++) ext[i] = 2.0 * x[0] - x[padlen - i];
+  for (int64_t i = 0; i < n; i++) ext[padlen + i] = x[i];
+  for (int64_t i = 0; i < padlen; i++)
+    ext[padlen + n + i] = 2.0 * x[n - 1] - x[n - 2 - i];
+
+  double zi[32];
+  for (int i = 0; i < order; i++) zi[i] = zi_unit[i] * ext[0];
+  polgen_lfilter(b, a, order, ext, m, zi, y);
+  // reverse in place
+  for (int64_t i = 0, j = m - 1; i < j; i++, j--) {
+    const double t = y[i]; y[i] = y[j]; y[j] = t;
+  }
+  for (int i = 0; i < order; i++) zi[i] = zi_unit[i] * y[0];
+  polgen_lfilter(b, a, order, y, m, zi, ext);  // reuse ext as output
+  for (int64_t i = 0; i < n; i++) out[i] = ext[m - 1 - padlen - i];
+  delete[] ext;
+  delete[] y;
+  return 0;
+}
+
 }  // extern "C"

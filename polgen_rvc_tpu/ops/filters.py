@@ -32,9 +32,60 @@ def butter_highpass_sos(order: int = 5, cutoff_hz: float = 48.0, fs: float = 160
     return sos.astype(np.float64)
 
 
+@lru_cache(maxsize=8)
+def _filtfilt_native_setup(key):
+    """(ctypes fn, b, a, zi_unit, padlen) for the native filtfilt, or None
+    when the toolchain is unavailable."""
+    import ctypes
+
+    b, a = (np.array(v) for v in key)
+    try:
+        from ..native import dsp_library
+
+        lib = dsp_library()
+        fn = lib.polgen_filtfilt
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+    except Exception:
+        return None
+    zi = _sps.lfilter_zi(b, a)
+    padlen = 3 * max(len(a), len(b))
+    return fn, b, a, zi, padlen
+
+
 def highpass_filtfilt(x: np.ndarray, fs: float = 16000.0) -> np.ndarray:
-    """Host-side zero-phase high-pass, bit-identical to the reference step."""
+    """Host-side zero-phase high-pass, bit-identical to the reference step.
+
+    Runs the first-party C++ filtfilt (native/dsp.cpp — same odd
+    extension, lfilter_zi conditions, and DF2T recurrence as scipy, in
+    double) and falls back to scipy when the toolchain is missing or the
+    signal is shorter than the edge extension."""
+    import ctypes
+
     b, a = butter_highpass(fs=fs)
+    setup = _filtfilt_native_setup((tuple(b), tuple(a)))
+    if setup is not None:
+        fn, bb, aa, zi, padlen = setup
+        xd = np.ascontiguousarray(x, np.float64)
+        if xd.ndim == 1 and xd.shape[0] > padlen:
+            out = np.empty_like(xd)
+            dp = ctypes.POINTER(ctypes.c_double)
+            rc = fn(
+                xd.ctypes.data_as(dp), xd.shape[0],
+                np.ascontiguousarray(bb).ctypes.data_as(dp),
+                np.ascontiguousarray(aa).ctypes.data_as(dp),
+                len(aa) - 1,
+                np.ascontiguousarray(zi).ctypes.data_as(dp),
+                padlen,
+                out.ctypes.data_as(dp),
+            )
+            if rc == 0:
+                return out
     return _sps.filtfilt(b, a, x)
 
 
