@@ -111,16 +111,20 @@ def make_fcpe_state(*, tiny: bool = True, seed: int = 0):
     conv("stack.0", c, cfg.input_channel, 3)
     norm("stack.1", c)
     conv("stack.3", c, c, 3)
-    dh = c // 8
-    nb_features = max(1, int(dh * np.log(max(dh, 2))))
+    # reference SelfAttention: FIXED dim_head=64, inner = 64*8 = 512,
+    # nb_features = int(64*log(64)) = 266 (FCPE.py:443-465) — NOT c/heads
+    dh = 64
+    inner_attn = dh * 8
+    nb_features = int(dh * np.log(dh))
     for i in range(cfg.n_layers):
         p = f"decoder._layers.{i}"
         norm(f"{p}.norm", c)
         sd[f"{p}.attn.fast_attention.projection_matrix"] = (
             rng.standard_normal((nb_features, dh)).astype(np.float32)
         )
-        for nm in ("to_q", "to_k", "to_v", "to_out"):
-            lin(f"{p}.attn.{nm}", c, c)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{p}.attn.{nm}", inner_attn, c)
+        lin(f"{p}.attn.to_out", c, inner_attn)
         norm(f"{p}.conformer.net.0", c)
         conv(f"{p}.conformer.net.2", inner * 2, c, 1)
         sd[f"{p}.conformer.net.4.conv.weight"] = (

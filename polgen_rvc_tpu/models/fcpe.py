@@ -122,7 +122,11 @@ def _linear_attention(q, k, v):
 
 def _self_attention(x, p, n_heads: int):
     b, n, c = x.shape
-    dh = c // n_heads
+    # reference SelfAttention uses a FIXED dim_head=64 (inner = 512) no
+    # matter the model width (FCPE.py:443-465) — infer inner from the
+    # projection weights rather than assuming c / heads
+    inner = p["to_q"]["w"].shape[1]
+    dh = inner // n_heads
 
     def proj(name):
         y = x @ p[name]["w"].astype(x.dtype) + p[name]["b"].astype(x.dtype)
@@ -133,7 +137,7 @@ def _self_attention(x, p, n_heads: int):
     q = _softmax_kernel(q, proj_mat, is_query=True)
     k = _softmax_kernel(k, proj_mat, is_query=False)
     out = _linear_attention(q, k, v)
-    out = out.swapaxes(1, 2).reshape(b, n, c)
+    out = out.swapaxes(1, 2).reshape(b, n, inner)
     return out @ p["to_out"]["w"].astype(x.dtype) + p["to_out"]["b"].astype(x.dtype)
 
 

@@ -356,3 +356,99 @@ def test_rmvpe_mel_frontend_parity(rmvpe_pair):
     mel_j = np.asarray(rmvpe_mel(jnp.asarray(audio[None])))
     assert mel_j.shape == mel_ref.shape
     np.testing.assert_allclose(mel_j, mel_ref, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# FCPE: conformer/Performer net + decode vs the reference FCPE module
+# (FCPE.py:551-659). torchaudio/local_attention are absent here but only
+# touch paths the net's forward never takes (Wav2Mel resampling, local
+# attention with local_attn_heads=0), so they are stubbed.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fcpe_pair():
+    import types
+
+    _install_reference_stubs()
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        ta.__path__ = []
+        tat = types.ModuleType("torchaudio.transforms")
+        tat.Resample = object
+        ta.transforms = tat
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = tat
+    if "local_attention" not in sys.modules:
+        la = types.ModuleType("local_attention")
+        la.LocalAttention = object
+        sys.modules["local_attention"] = la
+
+    from rvc.lib.predictors.FCPE import FCPE as RefFCPE
+
+    from polgen_rvc_tpu.convert.fcpe_ckpt import (
+        convert_fcpe_state, make_fcpe_state,
+    )
+
+    cfg, sd = make_fcpe_state(tiny=True, seed=11)
+    net = RefFCPE(
+        input_channel=cfg.input_channel, out_dims=cfg.out_dims,
+        n_layers=cfg.n_layers, n_chans=cfg.n_chans, threshold=0.03,
+    )
+    # modern torch stores weight_norm as parametrizations; the synthetic
+    # dict (and real fcpe.pt checkpoints) use the weight_g/weight_v names
+    sd_t = {}
+    for k, v in sd.items():
+        if k == "dense_out.weight_g":
+            k = "dense_out.parametrizations.weight.original0"
+        elif k == "dense_out.weight_v":
+            k = "dense_out.parametrizations.weight.original1"
+        sd_t[k] = torch.from_numpy(np.asarray(v))
+    missing, unexpected = net.load_state_dict(sd_t, strict=False)
+    # only non-parameter leftovers (cent_table buffer) may be missing
+    assert not unexpected, unexpected
+    assert all("cent_table" in m for m in missing), missing
+    net.eval()
+
+    params = jax.tree.map(jnp.asarray, convert_fcpe_state(sd, cfg))
+    return net, cfg, params
+
+
+def test_fcpe_salience_parity(fcpe_pair):
+    from polgen_rvc_tpu.models.fcpe import fcpe_salience
+
+    net, cfg, params = fcpe_pair
+    rng = np.random.default_rng(7)
+    mel = (rng.standard_normal((1, 96, cfg.input_channel)) * 0.5).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        x = net.stack(torch.from_numpy(mel).transpose(1, 2)).transpose(1, 2)
+        x = net.decoder(x)
+        x = net.norm(x)
+        sal_ref = torch.sigmoid(net.dense_out(x)).numpy()
+    sal_j = np.asarray(fcpe_salience(params, cfg, jnp.asarray(mel)))
+    assert sal_j.shape == sal_ref.shape
+    np.testing.assert_allclose(sal_j, sal_ref, atol=2e-4)
+
+
+def test_fcpe_forward_f0_parity(fcpe_pair):
+    from polgen_rvc_tpu.models.fcpe import fcpe_decode, fcpe_salience
+
+    net, cfg, params = fcpe_pair
+    rng = np.random.default_rng(8)
+    mel = (rng.standard_normal((1, 64, cfg.input_channel)) * 0.5).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        f0_ref = net(
+            torch.from_numpy(mel), infer=True, return_hz_f0=True,
+            cdecoder="local_argmax",
+        ).numpy()[0, :, 0]
+    sal = fcpe_salience(params, cfg, jnp.asarray(mel))
+    f0_j = np.asarray(fcpe_decode(sal, cfg, threshold=0.03))[0]
+    voiced = f0_ref > 0
+    assert np.array_equal(voiced, f0_j > 0)
+    if voiced.any():
+        cents = 1200 * np.abs(np.log2(f0_j[voiced] / f0_ref[voiced]))
+        assert cents.max() < 0.5, cents.max()
