@@ -306,7 +306,8 @@ class VoiceConverter:
     def _chunk_fn(self, bucket_len: int, batch: int, *, use_index: bool,
                   use_protect: bool, use_f0: bool,
                   devf0_frames: Optional[int] = None,
-                  dev_wav_bucket: Optional[int] = None):
+                  dev_wav_bucket: Optional[int] = None,
+                  emit: str = "raw"):
         """Jitted chunk-batch graph. With devf0_frames set, the graph takes
         the full-signal (1, devf0_frames) pitch arrays (device-resident F0
         output) plus per-row frame offsets and slices rows in-graph — no
@@ -318,9 +319,16 @@ class VoiceConverter:
         (shape (1, dev_wav_bucket)) instead of taking a host-gathered
         (B, bucket_len) f32 matrix: the song uploads once (~6 MB int16)
         and every chunk batch reads it in place, instead of re-uploading
-        overlapping f32 windows (~17 MB/song through the ~37 MB/s relay)."""
+        overlapping f32 windows (~17 MB/song through the ~37 MB/s relay).
+
+        emit selects the output stage fused into the graph (each avoided
+        follow-up graph saves a ~10-25 ms tunnel dispatch):
+          "raw"   — full (B, p_len*upp) waveform (batch-mode path)
+          "trimf" — pad-trimmed, valid-masked f32 rows for the RMS gain
+          "int16" — trimmed rows quantized per-row to int16, + absmax
+                    (the _trim_fn contract, ready to fetch)"""
         key = (bucket_len, batch, use_index, use_protect, use_f0, devf0_frames,
-               dev_wav_bucket)
+               dev_wav_bucket, emit)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
 
@@ -411,7 +419,24 @@ class VoiceConverter:
                 sid=sid, rng=row_keys, noise_scale=noise_scale,
                 compute_dtype=cdt, use_pallas=use_pallas,
             )
-            return audio.astype(jnp.float32)
+            audio = audio.astype(jnp.float32)
+            if emit == "raw":
+                return audio
+            # fused trim: valid frame count is the row's mask population
+            upp = self.synth_cfg.upp
+            t_pad_tgt = self.tgt_sr * self.engine.x_pad
+            out_len = p_len * upp - 2 * t_pad_tgt
+            valid = jnp.sum(frame_mask, axis=1).astype(jnp.int32)
+            nvalid = jnp.maximum(valid * upp - 2 * t_pad_tgt, 0)
+            rows = audio[:, t_pad_tgt : t_pad_tgt + out_len]
+            idx = jnp.arange(out_len)[None, :]
+            rows = jnp.where(idx < nvalid[:, None], rows, 0.0)
+            if emit == "trimf":
+                return rows
+            absmax = jnp.max(jnp.abs(rows), axis=1)
+            scale = 32767.0 / jnp.maximum(absmax, 1e-9)
+            seg = jnp.round(rows * scale[:, None]).astype(jnp.int16)
+            return seg, absmax
 
         jitted = jax.jit(step)
 
@@ -530,6 +555,7 @@ class VoiceConverter:
             fn, p_len = self._chunk_fn(
                 bucket_len, eng.chunk_batch, use_index=use_index,
                 use_protect=use_protect, use_f0=use_f0,
+                emit="trimf" if rate_on else "int16",
             )
             for g0 in range(0, len(work), eng.chunk_batch):
                 group = work[g0 : g0 + eng.chunk_batch]
@@ -585,24 +611,13 @@ class VoiceConverter:
                     ids_d = jnp.asarray(ids_b)
                 out = fn(*arrs, jnp.float32(opts.index_rate),
                          jnp.float32(opts.protect), sid_d, rng, ids_d)
-                # per-batch trim, dispatched immediately so fetches pipeline
-                # behind later batches' compute. Per-row handling keeps a
-                # row's result independent of the other songs sharing the
-                # batch (packing invariance). With the RMS envelope on,
-                # rows stay f32 on device for the per-song gain graphs;
-                # otherwise they quantize to int16 right here.
-                v_b = np.zeros(eng.chunk_batch, np.int32)
-                for row, (si, ci) in enumerate(group):
-                    v_b[row] = placements[si][-1][2]
-                if rate_on:
-                    batch_outputs.append(
-                        self._trimf_fn(out.shape[1])(out, jnp.asarray(v_b))
-                    )
-                else:
-                    seg, absmax = self._trim_fn(out.shape[1])(
-                        out, jnp.asarray(v_b)
-                    )
-                    batch_outputs.append((seg, absmax))
+                # trim is fused into the chunk graph (emit): with the RMS
+                # envelope on, `out` is the masked f32 rows for the
+                # per-song gain graphs; otherwise it's (int16 rows, absmax)
+                # quantized per-row (packing-invariant — a row's bytes do
+                # not depend on what else rides the batch), ready to fetch
+                # pipelined behind later batches' compute.
+                batch_outputs.append(out)
 
         # 4) per-song finalize. With the RMS envelope on, each song's rows
         #    (ascending output order, gathered from the shared batches) run
@@ -664,61 +679,6 @@ class VoiceConverter:
     # ------------------------------------------------------------------
     # output path: per-batch device trim + int16 pack, host finalize
     # ------------------------------------------------------------------
-
-    def _trim_fn(self, row_len: int):
-        """Per-batch trim graph: (B, row_len) f32 chunk outputs -> packed
-        (B, row_len - 2*t_pad_tgt) int16 rows + per-row absmax.
-
-        This is the pipelined-fetch design: each batch's valid audio is
-        quantized to int16 against its OWN row maximum (packing-invariant —
-        a row's bytes do not depend on what else rides the batch) and
-        fetched as soon as the batch finishes, overlapping later batches'
-        device compute. RMS envelope transfer, optional resample, and the
-        final normalize run on host over the dequantized rows — the exact
-        reference order (pipeline.py:449-461). Halves the bytes on the
-        final fetch vs fetching f32 and hides all but the last batch's
-        transfer behind compute."""
-        if row_len in self._trim_fns:
-            return self._trim_fns[row_len]
-
-        t_pad_tgt = self.tgt_sr * self.engine.x_pad
-        out_len = row_len - 2 * t_pad_tgt
-        upp = self.synth_cfg.upp
-
-        @jax.jit
-        def fn(out_b, v_arr):
-            valid = jnp.maximum(v_arr * upp - 2 * t_pad_tgt, 0)  # (B,)
-            rows = out_b[:, t_pad_tgt : t_pad_tgt + out_len]
-            idx = jnp.arange(out_len)[None, :]
-            rows = jnp.where(idx < valid[:, None], rows, 0.0)
-            absmax = jnp.max(jnp.abs(rows), axis=1)
-            scale = 32767.0 / jnp.maximum(absmax, 1e-9)
-            seg = jnp.round(rows * scale[:, None]).astype(jnp.int16)
-            return seg, absmax
-
-        self._trim_fns[row_len] = fn
-        return fn
-
-    def _trimf_fn(self, row_len: int):
-        """Trim-only variant of _trim_fn: (B, row_len) f32 chunk outputs ->
-        (B, out_len) f32 valid rows (masked), kept on device for the RMS
-        gain graph."""
-        key = ("trimf", row_len)
-        if key in self._trim_fns:
-            return self._trim_fns[key]
-        t_pad_tgt = self.tgt_sr * self.engine.x_pad
-        out_len = row_len - 2 * t_pad_tgt
-        upp = self.synth_cfg.upp
-
-        @jax.jit
-        def fn(out_b, v_arr):
-            valid = jnp.maximum(v_arr * upp - 2 * t_pad_tgt, 0)
-            rows = out_b[:, t_pad_tgt : t_pad_tgt + out_len]
-            idx = jnp.arange(out_len)[None, :]
-            return jnp.where(idx < valid[:, None], rows, 0.0)
-
-        self._trim_fns[key] = fn
-        return fn
 
     def _rms1_fn(self, bucket: int):
         """RMS knots of the 16 kHz source from the already-uploaded padded
@@ -1038,6 +998,7 @@ class VoiceConverter:
                 use_index=use_index, use_protect=use_protect, use_f0=use_f0,
                 devf0_frames=devf0_frames,
                 dev_wav_bucket=int(audio_buf.shape[1]),
+                emit="trimf" if rate_on else "int16",
             )
             # device-side audio slicing: rows address the uploaded buffer;
             # padding rows read a zero-length window
@@ -1116,9 +1077,8 @@ class VoiceConverter:
             # with this one's execution and with host-side prep
             pending.append((out, valid_frames))
             if rate_on:
-                v_b = np.zeros(eng.chunk_batch, np.int32)
-                v_b[: len(valid_frames)] = valid_frames
-                rf = self._trimf_fn(out.shape[1])(out, jnp.asarray(v_b))
+                # out IS the trimmed masked rows (fused emit="trimf")
+                rf = out
                 if rf.shape[1] < out_len_max:
                     rf = jnp.pad(
                         rf, ((0, 0), (0, out_len_max - rf.shape[1]))
@@ -1141,14 +1101,10 @@ class VoiceConverter:
                 for (seg, am), (_, vf) in zip(gained, pending)
             ]
         else:
-            packed = []
-            for out, valid_frames in pending:
-                v = np.zeros(eng.chunk_batch, np.int32)
-                v[: len(valid_frames)] = valid_frames
-                seg, absmax = self._trim_fn(out.shape[1])(
-                    out, jnp.asarray(v)
-                )
-                packed.append((seg, absmax, valid_frames))
+            # out IS (seg int16, absmax) — fused emit="int16"
+            packed = [
+                (seg_am[0], seg_am[1], vf) for seg_am, vf in pending
+            ]
 
         progress(0.92, "fetching + finalizing")
         rows = []

@@ -36,7 +36,7 @@ def main():
     seconds = 180.0 if on_tpu else 8.0
     eng = (
         EngineConfig(x_pad=1, x_query=6, x_center=30, x_max=32,
-                     chunk_batch=2, bucket_step_s=4,
+                     chunk_batch=1, bucket_step_s=4,
                      compute_dtype="bfloat16")
         if on_tpu
         else EngineConfig(x_pad=1, x_query=2, x_center=3, x_max=4,
