@@ -31,7 +31,7 @@ def main():
 
     enable_compilation_cache()
     eng = EngineConfig(x_pad=1, x_query=6, x_center=30, x_max=32,
-                       chunk_batch=2, bucket_step_s=4,
+                       chunk_batch=1, bucket_step_s=4,
                        compute_dtype="bfloat16")
     vc = build_synthetic_converter(tiny=False, sr=48000,
                                    index_vectors=65536, engine=eng)

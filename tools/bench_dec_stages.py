@@ -35,7 +35,7 @@ def main():
     cfg = vc.synth_cfg
     params = vc.synth_params["dec"]
     cdt = jnp.bfloat16
-    B = 2
+    B = 1
     T0 = 4400
     rng = np.random.default_rng(0)
 
