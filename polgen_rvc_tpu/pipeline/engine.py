@@ -845,7 +845,18 @@ class VoiceConverter:
         progress(0.05, "high-pass filtering")
         audio = highpass_filtfilt(np.asarray(audio16k, np.float64)).astype(np.float32)
 
-        plan = plan_chunks(audio, eng)
+        # one int16 upload of the padded signal feeds the F0 graph, the
+        # RMS1-envelope graph, AND the chunk graphs (which slice their
+        # windows from it in-graph). Dispatched BEFORE chunk planning:
+        # device_put is async, so the ~6 MB relay transfer streams while
+        # the quiet-point search runs on host.
+        padded = np.pad(audio, (eng.t_pad, eng.t_pad), mode="reflect").astype(
+            np.float32
+        )
+        uploaded = self._upload_audio(padded)
+        audio_buf = uploaded[0]
+
+        plan = plan_chunks(audio, eng)  # padded_audio == `padded` bitwise
         p_len_full = plan.padded_audio.shape[0] // eng.window
 
         rate_on = opts.volume_envelope != 1.0
@@ -853,11 +864,6 @@ class VoiceConverter:
             use_f0 and opts.f0_method in ("rmvpe+", "rmvpe")
             and not opts.f0_file and self.rmvpe_params is not None
         )
-        # one int16 upload of the padded signal feeds the F0 graph, the
-        # RMS1-envelope graph, AND the chunk graphs (which slice their
-        # windows from it in-graph)
-        uploaded = self._upload_audio(plan.padded_audio)
-        audio_buf = uploaded[0]
         if self.mesh is not None:
             from ..parallel.mesh import replicate
 
