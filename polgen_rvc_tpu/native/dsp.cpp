@@ -336,17 +336,12 @@ static void polgen_lfilter(const double* b, const double* a, int order,
   }
 }
 
-// x: n samples; b, a: order+1 normalized (a[0]=1) coefficients;
-// zi_unit: `order` steady-state values from scipy.signal.lfilter_zi;
-// padlen: edge extension length (scipy default 3*(order+1)).
-// Returns 0 on success, -1 if n <= padlen (caller falls back to scipy).
-int polgen_filtfilt(const double* x, int64_t n, const double* b,
-                    const double* a, int order, const double* zi_unit,
-                    int64_t padlen, double* out) {
-  if (n <= padlen || order >= 32) return -1;
+// filtfilt core into caller-provided scratch; result (in original order)
+// lands at ext[padlen .. padlen+n) REVERSED — see polgen_filtfilt.
+static int filtfilt_core(const double* x, int64_t n, const double* b,
+                         const double* a, int order, const double* zi_unit,
+                         int64_t padlen, double* ext, double* y) {
   const int64_t m = n + 2 * padlen;
-  double* ext = new double[m];
-  double* y = new double[m];
   // odd extension: 2*x[0] - x[padlen..1], x, 2*x[n-1] - x[n-2..n-1-padlen]
   for (int64_t i = 0; i < padlen; i++) ext[i] = 2.0 * x[0] - x[padlen - i];
   for (int64_t i = 0; i < n; i++) ext[padlen + i] = x[i];
@@ -362,9 +357,65 @@ int polgen_filtfilt(const double* x, int64_t n, const double* b,
   }
   for (int i = 0; i < order; i++) zi[i] = zi_unit[i] * y[0];
   polgen_lfilter(b, a, order, y, m, zi, ext);  // reuse ext as output
+  return 0;
+}
+
+// x: n samples; b, a: order+1 normalized (a[0]=1) coefficients;
+// zi_unit: `order` steady-state values from scipy.signal.lfilter_zi;
+// padlen: edge extension length (scipy default 3*(order+1)).
+// Returns 0 on success, -1 if n <= padlen (caller falls back to scipy).
+int polgen_filtfilt(const double* x, int64_t n, const double* b,
+                    const double* a, int order, const double* zi_unit,
+                    int64_t padlen, double* out) {
+  if (n <= padlen || order >= 32) return -1;
+  const int64_t m = n + 2 * padlen;
+  double* ext = new double[m];
+  double* y = new double[m];
+  filtfilt_core(x, n, b, a, order, zi_unit, padlen, ext, y);
   for (int64_t i = 0; i < n; i++) out[i] = ext[m - 1 - padlen - i];
   delete[] ext;
   delete[] y;
+  return 0;
+}
+
+// Fused conversion head: filtfilt -> float32 -> reflect pad by t_pad ->
+// int16 quantize against the padded signal's own max, in one pass.
+// out_f32:  n filtered float32 samples (chunk planning input)
+// out_i16:  >= n + 2*t_pad int16 samples (tail left untouched — callers
+//           pass a zeroed bucket-sized array)
+// out_inv_scale: the dequantization factor (float32 of 1/scale)
+// Mirrors exactly: filtfilt(...).astype(f32); np.pad(reflect, t_pad);
+// np.round(padded * (32767/absmax)).astype(i16) with numpy's f32
+// promotion and round-half-even. Returns 0, or -1 on fallback cases.
+int polgen_filtfilt_pad_quant(const double* x, int64_t n, const double* b,
+                              const double* a, int order,
+                              const double* zi_unit, int64_t padlen,
+                              int64_t t_pad, float* out_f32,
+                              int16_t* out_i16, float* out_inv_scale) {
+  if (n <= padlen || order >= 32 || t_pad >= n) return -1;
+  const int64_t m = n + 2 * padlen;
+  double* ext = new double[m];
+  double* y = new double[m];
+  filtfilt_core(x, n, b, a, order, zi_unit, padlen, ext, y);
+  float amax = 0.0f;
+  for (int64_t i = 0; i < n; i++) {
+    const float v = (float)ext[m - 1 - padlen - i];
+    out_f32[i] = v;
+    const float av = v < 0 ? -v : v;
+    if (av > amax) amax = av;
+  }
+  delete[] ext;
+  delete[] y;
+  // reflect padding repeats interior samples: absmax(padded) == absmax
+  const double scale_d = amax > 0 ? 32767.0 / (double)amax : 1.0;
+  const float scale = (float)scale_d;
+  const int64_t total = n + 2 * t_pad;
+  for (int64_t i = 0; i < total; i++) {
+    const int64_t j = i - t_pad;
+    const int64_t src = j < 0 ? -j : (j >= n ? 2 * n - 2 - j : j);
+    out_i16[i] = (int16_t)rintf(out_f32[src] * scale);
+  }
+  *out_inv_scale = (float)(1.0 / scale_d);
   return 0;
 }
 

@@ -58,6 +58,54 @@ def _filtfilt_native_setup(key):
     return fn, b, a, zi, padlen
 
 
+def highpass_filtfilt_pad_quant(x: np.ndarray, t_pad: int, bucket: int,
+                                fs: float = 16000.0):
+    """Fused conversion head: zero-phase high-pass -> float32 -> reflect
+    pad by t_pad -> int16 quantize against the padded signal's max, one
+    C++ pass (native/dsp.cpp). Returns (filtered f32 (n,), int16
+    (bucket,) with zero tail, inv_scale f32) or None when the native
+    library or preconditions are unavailable (callers run the 3-step
+    python path; both produce bit-identical values)."""
+    import ctypes
+
+    b, a = butter_highpass(fs=fs)
+    setup = _filtfilt_native_setup((tuple(b), tuple(a)))
+    if setup is None:
+        return None
+    fn_ff, bb, aa, zi, padlen = setup
+    n = int(x.shape[0])
+    if x.ndim != 1 or n <= padlen or t_pad >= n or n + 2 * t_pad > bucket:
+        return None
+    try:
+        from ..native import dsp_library
+
+        lib = dsp_library()
+        fn = lib.polgen_filtfilt_pad_quant
+    except Exception:
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    fp = ctypes.POINTER(ctypes.c_float)
+    sp = ctypes.POINTER(ctypes.c_int16)
+    fn.restype = ctypes.c_int
+    xd = np.ascontiguousarray(x, np.float64)
+    out_f32 = np.empty(n, np.float32)
+    out_i16 = np.zeros(bucket, np.int16)
+    inv = ctypes.c_float()
+    rc = fn(
+        xd.ctypes.data_as(dp), ctypes.c_int64(n),
+        np.ascontiguousarray(bb).ctypes.data_as(dp),
+        np.ascontiguousarray(aa).ctypes.data_as(dp),
+        ctypes.c_int(len(aa) - 1),
+        np.ascontiguousarray(zi).ctypes.data_as(dp),
+        ctypes.c_int64(padlen), ctypes.c_int64(t_pad),
+        out_f32.ctypes.data_as(fp), out_i16.ctypes.data_as(sp),
+        ctypes.byref(inv),
+    )
+    if rc != 0:
+        return None
+    return out_f32, out_i16, np.float32(inv.value)
+
+
 def highpass_filtfilt(x: np.ndarray, fs: float = 16000.0) -> np.ndarray:
     """Host-side zero-phase high-pass, bit-identical to the reference step.
 

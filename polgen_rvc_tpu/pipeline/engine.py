@@ -843,17 +843,33 @@ class VoiceConverter:
         eng = self.engine
         use_f0 = self.synth_cfg.use_f0
         progress(0.05, "high-pass filtering")
-        audio = highpass_filtfilt(np.asarray(audio16k, np.float64)).astype(np.float32)
-
         # one int16 upload of the padded signal feeds the F0 graph, the
         # RMS1-envelope graph, AND the chunk graphs (which slice their
         # windows from it in-graph). Dispatched BEFORE chunk planning:
         # device_put is async, so the ~6 MB relay transfer streams while
-        # the quiet-point search runs on host.
-        padded = np.pad(audio, (eng.t_pad, eng.t_pad), mode="reflect").astype(
-            np.float32
+        # the quiet-point search runs on host. The high-pass, reflect pad,
+        # and int16 quantization run as ONE C++ pass when the native
+        # toolchain exists (bit-identical to the python steps).
+        from ..ops.filters import highpass_filtfilt_pad_quant
+
+        n_in = int(np.asarray(audio16k).shape[0])
+        padded_len = n_in + 2 * eng.t_pad
+        step_q = _F0_FRAME_BUCKET * 160
+        bucket_q = max(int(np.ceil(padded_len / step_q)), 1) * step_q
+        fused = highpass_filtfilt_pad_quant(
+            np.asarray(audio16k, np.float64), eng.t_pad, bucket_q
         )
-        uploaded = self._upload_audio(padded)
+        if fused is not None:
+            audio, qbuf, inv_scale = fused
+            uploaded = (jnp.asarray(qbuf)[None], inv_scale, padded_len)
+        else:
+            audio = highpass_filtfilt(
+                np.asarray(audio16k, np.float64)
+            ).astype(np.float32)
+            padded = np.pad(
+                audio, (eng.t_pad, eng.t_pad), mode="reflect"
+            ).astype(np.float32)
+            uploaded = self._upload_audio(padded)
         audio_buf = uploaded[0]
 
         plan = plan_chunks(audio, eng)  # padded_audio == `padded` bitwise

@@ -49,6 +49,32 @@ def test_resample_removes_aliasing():
     assert np.max(np.abs(y2[1000:-1000])) < 0.02
 
 
+def test_filtfilt_pad_quant_fused_matches_steps(rng):
+    """The fused C++ head (filter+pad+quantize) must be BIT-identical to
+    the python steps — the engine mixes both paths across convert /
+    convert_batch and their outputs are compared exactly."""
+    from polgen_rvc_tpu.ops.filters import highpass_filtfilt_pad_quant
+
+    x = (rng.standard_normal(50000) * 0.4).astype(np.float64)
+    t_pad, bucket = 16000, 163840
+    fused = highpass_filtfilt_pad_quant(x, t_pad, bucket)
+    if fused is None:
+        import pytest as _pytest
+
+        _pytest.skip("native toolchain unavailable")
+    f32, q, inv = fused
+
+    audio = highpass_filtfilt(x).astype(np.float32)
+    np.testing.assert_array_equal(f32, audio)
+    padded = np.pad(audio, (t_pad, t_pad), mode="reflect").astype(np.float32)
+    amax = float(np.max(np.abs(padded)))
+    scale = 32767.0 / amax
+    q_ref = np.zeros(bucket, np.int16)
+    q_ref[: len(padded)] = np.round(padded * scale)
+    np.testing.assert_array_equal(q, q_ref)
+    assert inv == np.float32(1.0 / scale)
+
+
 def test_filtfilt_matches_scipy(rng):
     b, a = butter_highpass()
     x = rng.standard_normal(4000).astype(np.float64)

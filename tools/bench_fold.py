@@ -47,8 +47,9 @@ def main():
         print(f"{name}: {best:.4f}s", flush=True)
 
     for c, t, folds, base_tile in (
-        (64, 1_056_000, (2, 4), 2048),
-        (32, 2_112_000, (4, 8), 4096),
+        (128, 528_000, (), 1024),
+        (64, 1_056_000, (), 2048),
+        (32, 2_112_000, (4,), 4096),
     ):
         params = []
         for k in kernel_sizes:
@@ -70,13 +71,11 @@ def main():
             time_tile=base_tile))
         timeit(f"C{c} plain t{base_tile}", fn0, x, params)
         for fold in folds:
-            for tile in (512, 1024, 2048):
-                fnf = jax.jit(
-                    lambda y, sp, fold=fold, tile=tile:
-                    fused_resblock_group_folded(
-                        y, sp, kernel_sizes=kernel_sizes,
-                        dilations=dilations, fold=fold, time_tile=tile))
-                timeit(f"C{c} fold{fold} t{tile}", fnf, x, params)
+            fnf = jax.jit(
+                lambda y, sp, fold=fold: fused_resblock_group_folded(
+                    y, sp, kernel_sizes=kernel_sizes,
+                    dilations=dilations, fold=fold, time_tile=1024))
+            timeit(f"C{c} fold{fold} t1024", fnf, x, params)
 
 
 if __name__ == "__main__":
