@@ -184,7 +184,7 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
                 x, stage_params,
                 kernel_sizes=[k for k, _ in kd],
                 dilations=[d for _, d in kd],
-                fold=4, time_tile=1024,
+                fold=4, time_tile=2048,
             )
         elif use_pallas and x.shape[1] <= 128:
             # fused Pallas path: the low-channel stages run ~6% MXU util

@@ -85,7 +85,7 @@ def _block_chain(x, blocks, use_pallas: bool = False):
             # round multiplicands to bf16, accumulate fp32); tiles sized so
             # tile + 2*halo is an exact lane multiple (halo = 2 per block)
             halo = 2 * len(blocks)
-            tile = 128 - 2 * halo  # tile + 2*halo = one exact lane tile
+            tile = 512 - 2 * halo  # tile + 2*halo = exact lane multiple
             return fused_convblock_chain_folded(
                 x, blocks, fold=fold, time_tile=tile,
                 compute_dtype=jnp.bfloat16,

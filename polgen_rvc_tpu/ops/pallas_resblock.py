@@ -213,6 +213,9 @@ def _fused_group_call(x, packed, conv_specs, *, lrelu_slope, time_tile,
         scratch_shapes=[
             pltpu.VMEM((kmax * c, time_tile + 2 * h), jnp.bfloat16),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(tiles, *flat_wb)
 

@@ -290,6 +290,9 @@ def fused_convblock_chain_folded(
             pltpu.VMEM((wp, c_max, time_tile + 2 * h), jnp.float32),
             pltpu.VMEM((wp, c_out_max, time_tile + 2 * h), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(tiles, *flat_wb)
 

@@ -47,8 +47,8 @@ def main():
         print(f"{name}: {best:.4f}s", flush=True)
 
     for c, t, folds, base_tile in (
-        (128, 528_000, (), 1024),
-        (64, 1_056_000, (), 2048),
+        (128, 528_000, (), 2048),
+        (64, 1_056_000, (), 4096),
         (32, 2_112_000, (4,), 4096),
     ):
         params = []
@@ -71,11 +71,13 @@ def main():
             time_tile=base_tile))
         timeit(f"C{c} plain t{base_tile}", fn0, x, params)
         for fold in folds:
-            fnf = jax.jit(
-                lambda y, sp, fold=fold: fused_resblock_group_folded(
-                    y, sp, kernel_sizes=kernel_sizes,
-                    dilations=dilations, fold=fold, time_tile=1024))
-            timeit(f"C{c} fold{fold} t1024", fnf, x, params)
+            for tile in (1024, 2048, 4096):
+                fnf = jax.jit(
+                    lambda y, sp, fold=fold, tile=tile:
+                    fused_resblock_group_folded(
+                        y, sp, kernel_sizes=kernel_sizes,
+                        dilations=dilations, fold=fold, time_tile=tile))
+                timeit(f"C{c} fold{fold} t{tile}", fnf, x, params)
 
 
 if __name__ == "__main__":
