@@ -492,12 +492,29 @@ class VoiceConverter:
 
         # 1) per-song prep + F0 dispatch (no sync yet)
         progress(0.05, f"planning {n_songs} songs + dispatching F0")
+        from ..ops.filters import highpass_filtfilt_pad_quant
+
         rate_on = opts.volume_envelope != 1.0
         songs = []
         for audio in audios:
-            audio = highpass_filtfilt(
-                np.asarray(audio, np.float64)
-            ).astype(np.float32)
+            # same fused C++ head as convert() (bit-identical fallback)
+            n_in = int(np.asarray(audio).shape[0])
+            t = n_in + 2 * eng.t_pad
+            step_q = _F0_FRAME_BUCKET * 160
+            bucket_q = max(int(np.ceil(t / step_q)), 1) * step_q
+            fused = highpass_filtfilt_pad_quant(
+                np.asarray(audio, np.float64), eng.t_pad, bucket_q
+            )
+            if fused is not None:
+                audio, qbuf, inv_scale = fused
+            else:
+                audio = highpass_filtfilt(
+                    np.asarray(audio, np.float64)
+                ).astype(np.float32)
+                padded = np.pad(
+                    audio, (eng.t_pad, eng.t_pad), mode="reflect"
+                ).astype(np.float32)
+                qbuf, inv_scale, t = self._quantize_audio(padded)
             plan = plan_chunks(audio, eng)
             p_len_full = plan.padded_audio.shape[0] // eng.window
             rec = {"audio": audio, "plan": plan, "p_len_full": p_len_full}
@@ -505,7 +522,6 @@ class VoiceConverter:
             # cannot all slice one device buffer) — from the DEQUANTIZED
             # signal, so packed rows are bit-identical to convert()'s
             # device-sliced rows
-            qbuf, inv_scale, t = self._quantize_audio(plan.padded_audio)
             plan.padded_audio = qbuf[:t].astype(np.float32) * inv_scale
             if use_f0 or rate_on:
                 rec["uploaded"] = (jnp.asarray(qbuf)[None], inv_scale, t)
