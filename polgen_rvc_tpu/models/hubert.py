@@ -56,25 +56,52 @@ def _layer_norm(x, gamma, beta, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * gamma.astype(x.dtype) + beta.astype(x.dtype)
 
 
-def _group_norm(x, gamma, beta, groups: int, eps=1e-5):
-    """GroupNorm over (B, C, T) with C split into groups."""
+def _group_norm(x, gamma, beta, groups: int, eps=1e-5, time_valid=None):
+    """GroupNorm over (B, C, T) with C split into groups.
+
+    time_valid (B,) restricts the statistics to the first time_valid[b]
+    positions: the reference runs HuBERT on EXACT-length audio, so its
+    GroupNorm never sees bucket padding — without the restriction the
+    stats (and thus every valid frame) would depend on how much zero
+    tail the chunk's bucket carries."""
     b, c, t = x.shape
     xg = x.reshape(b, groups, c // groups, t)
-    mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
-    var = jnp.var(xg, axis=(2, 3), keepdims=True)
+    if time_valid is None:
+        mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
+        var = jnp.var(xg, axis=(2, 3), keepdims=True)
+    else:
+        tmask = (
+            jnp.arange(t)[None, :] < time_valid[:, None]
+        ).astype(x.dtype)[:, None, None, :]  # (B, 1, 1, T)
+        n = jnp.maximum(
+            time_valid.astype(x.dtype), 1.0
+        )[:, None, None, None] * (c // groups)
+        xm = xg * tmask
+        mean = jnp.sum(xm, axis=(2, 3), keepdims=True) / n
+        var = jnp.sum(
+            jnp.square(xg - mean) * tmask, axis=(2, 3), keepdims=True
+        ) / n
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     x = xg.reshape(b, c, t)
     return x * gamma.astype(x.dtype)[None, :, None] + beta.astype(x.dtype)[None, :, None]
 
 
-def feature_extractor(params, cfg: HubertConfig, wav):
-    """(B, T_samples) -> (B, T_frames, 512)."""
+def feature_extractor(params, cfg: HubertConfig, wav, valid_samples=None):
+    """(B, T_samples) -> (B, T_frames, 512).
+
+    valid_samples (B,): real sample count per row; restricts the layer-0
+    GroupNorm statistics to the non-padded region (see _group_norm)."""
     x = wav[:, None, :]  # (B, 1, T)
     for i, (dim, k, s) in enumerate(cfg.conv_layers):
         x = conv1d(x, params["convs"][i]["w"], None, stride=s)
         if i == 0:
             gn = params["convs"][i]["gn"]
-            x = _group_norm(x, gn["gamma"], gn["beta"], groups=dim)
+            tv = None
+            if valid_samples is not None:
+                tv = jnp.maximum((valid_samples - k) // s + 1, 1)
+            x = _group_norm(
+                x, gn["gamma"], gn["beta"], groups=dim, time_valid=tv
+            )
         x = jax.nn.gelu(x, approximate=False)
     return x.swapaxes(1, 2)  # (B, T', 512)
 
@@ -115,17 +142,21 @@ def hubert_extract(
     final_proj: bool = False,
     padding_mask=None,
     compute_dtype=jnp.float32,
+    valid_samples=None,
 ):
     """Content features: (B, T_samples) -> (B, T_frames, 768 or 256).
 
     output_layer/final_proj mirror the v1/v2 dispatch at reference
     pipeline.py:228-236 (v1: layer 9 + final_proj; v2: layer 12).
     padding_mask: (B, T_frames) bool, True = padded frame.
+    valid_samples: (B,) real sample counts (bucket-invariant GroupNorm).
     """
     if output_layer is None:
         output_layer = cfg.n_layers
     wav = wav.astype(compute_dtype)
-    feats = feature_extractor(params["feature_extractor"], cfg, wav)
+    feats = feature_extractor(
+        params["feature_extractor"], cfg, wav, valid_samples=valid_samples
+    )
     feats = _layer_norm(feats, params["layer_norm"]["gamma"], params["layer_norm"]["beta"])
     x = feats @ params["post_extract_proj"]["w"].astype(compute_dtype)
     x = x + params["post_extract_proj"]["b"].astype(compute_dtype)

@@ -398,7 +398,7 @@ class VoiceConverter:
             feats = hubert_extract(
                 hubert_params, self.hubert_cfg, wav,
                 output_layer=out_layer, final_proj=v1, compute_dtype=cdt,
-                padding_mask=hub_pad_mask,
+                padding_mask=hub_pad_mask, valid_samples=sample_lens,
             )
             feats0 = feats if use_protect else None
             if use_index:
@@ -580,12 +580,14 @@ class VoiceConverter:
                 pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
                 mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
                 hub_valid = np.zeros(eng.chunk_batch, np.int32)
+                samp_lens = np.zeros(eng.chunk_batch, np.int32)
                 for row, (si, ci) in enumerate(group):
                     rec = songs[si]
                     row_wav, _ = gather_chunk_batch(rec["plan"], [ci], eng)
                     wav[row] = row_wav[0]
                     c = rec["plan"].chunks[ci]
                     slice_len = c.slice_end - c.slice_start
+                    samp_lens[row] = slice_len
                     hub_valid[row] = max(
                         self.hubert_cfg.num_frames(slice_len), 0
                     )
@@ -625,8 +627,13 @@ class VoiceConverter:
                                       mask_b, hub_valid)]
                     sid_d = jnp.asarray(sid_b)
                     ids_d = jnp.asarray(ids_b)
+                if self.mesh is not None:
+                    slen_d = shard_batch(jnp.asarray(samp_lens), self.mesh)
+                else:
+                    slen_d = jnp.asarray(samp_lens)
                 out = fn(*arrs, jnp.float32(opts.index_rate),
-                         jnp.float32(opts.protect), sid_d, rng, ids_d)
+                         jnp.float32(opts.protect), sid_d, rng, ids_d,
+                         None, None, slen_d)
                 # trim is fused into the chunk graph (emit): with the RMS
                 # envelope on, `out` is the masked f32 rows for the
                 # per-song gain graphs; otherwise it's (int16 rows, absmax)

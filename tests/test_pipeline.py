@@ -193,6 +193,72 @@ def test_convert_batch_packs_multiple_songs_per_dispatch(converter):
         np.testing.assert_array_equal(out, ref)
 
 
+def test_batch_size_invariance_deterministic_path(converter):
+    """chunk_batch=1 and chunk_batch=2 put the same chunks through
+    different padded shapes (per-batch buckets); with the stochastic
+    sites disabled the masked HuBERT + masked synthesizer make the valid
+    region EXACTLY pad-independent, so the outputs agree bitwise.
+
+    (With noise on, draws are shaped by the bucket — jax.random.normal
+    of a different static shape is a different sequence — so the
+    stochastic path is only packing-invariant at equal buckets, which
+    test_convert_batch_packs_multiple_songs_per_dispatch covers.)"""
+    import dataclasses
+
+    from unittest import mock
+
+    audio = _song(18.0, seed=21)
+    opts = ConversionOptions(index_rate=0.5, protect=0.33, seed=3)
+
+    import polgen_rvc_tpu.models.nsf as nsf_mod
+
+    def no_noise_normal(key, shape, dtype=np.float32):
+        import jax.numpy as jnp
+
+        return jnp.zeros(shape, dtype)
+
+    def run(vc):
+        with mock.patch.object(
+            nsf_mod.jax.random, "normal", no_noise_normal
+        ):
+            # fresh graphs so the patched noise traces in
+            vc._chunk_fns = {}
+            return vc.convert(audio, dataclasses.replace(opts))
+
+    import dataclasses as dc
+
+    vc2 = VoiceConverter(
+        synth_cfg=converter.synth_cfg,
+        synth_params=converter.synth_params,
+        hubert_cfg=converter.hubert_cfg,
+        hubert_params=converter.hubert_params,
+        rmvpe_params=converter.rmvpe_params,
+        index_bank=converter.index_bank,
+        engine=dc.replace(converter.engine, chunk_batch=2, noise_scale=0.0),
+    )
+    vc1 = VoiceConverter(
+        synth_cfg=converter.synth_cfg,
+        synth_params=converter.synth_params,
+        hubert_cfg=converter.hubert_cfg,
+        hubert_params=converter.hubert_params,
+        rmvpe_params=converter.rmvpe_params,
+        index_bank=converter.index_bank,
+        engine=dc.replace(converter.engine, chunk_batch=1, noise_scale=0.0),
+    )
+    out2, sr2 = run(vc2)
+    out1, sr1 = run(vc1)
+    assert sr1 == sr2
+    # different padded SHAPES change XLA's fp32 reduction trees, so the
+    # last ulp can flip an int16 rounding boundary — but nothing more.
+    # (Before the masked GroupNorm, 34% of samples differed by up to
+    # 1531; the norm statistics were absorbing the pad length.)
+    n = min(len(out1), len(out2))
+    assert len(out1) == len(out2)
+    d = np.abs(out1.astype(np.int32) - out2.astype(np.int32))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 0.01, (d > 0).mean()
+
+
 def test_device_gain_matches_reference_rms_math(converter):
     """The on-device RMS-envelope gain (_gain_rows_fn) must reproduce the
     reference change_rms math (pipeline.py:29-61): run a conversion with
