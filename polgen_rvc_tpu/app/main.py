@@ -1,11 +1,14 @@
-"""App launcher: python -m polgen_rvc_tpu.app.main [--port N] [--open] [--listen]
+"""App launcher: python -m polgen_rvc_tpu.app.main
+       [--port N] [--open] [--listen] [--share RELAY_HOST:TUNNEL_PORT]
 
 Mirrors the reference launcher semantics (app.py:46-77): default port 7860,
 --port override, --open launches a browser, port-retry loop decrementing on
-bind failure. --share (a public gradio tunnel in the reference) has no
-dependency-free equivalent; it is accepted and reported as unavailable.
-Binds 127.0.0.1 unless --listen is given (the API accepts filesystem paths,
-so external exposure is opt-in).
+bind failure. --share publishes the UI through the FIRST-PARTY relay
+(app/share_tunnel.py — run `python -m polgen_rvc_tpu.app.share_tunnel
+relay` on a public box; the reference used gradio's third-party FRP
+tunnel). Bare `--share` without a relay address is accepted and reported
+unavailable. Binds 127.0.0.1 unless --listen is given (the API accepts
+filesystem paths, so external exposure is opt-in).
 """
 
 from __future__ import annotations
@@ -30,15 +33,26 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv
     from .ui.server import serve
 
+    share_relay = None
     if "--share" in argv:
-        print("[!] --share is not supported in this build (no tunnel service); "
-              "serving locally only")
+        idx = argv.index("--share") + 1
+        if idx < len(argv) and ":" in argv[idx]:
+            share_relay = argv[idx]
+        else:
+            print("[!] --share needs a relay address (HOST:TUNNEL_PORT); "
+                  "run `python -m polgen_rvc_tpu.app.share_tunnel relay` "
+                  "on a public host first. Serving locally only.")
     host = "0.0.0.0" if "--listen" in argv else "127.0.0.1"
     port = get_port_from_args(argv)
     for _ in range(MAX_PORT_ATTEMPTS):
         try:
             if "--open" in argv:
                 webbrowser.open(f"http://localhost:{port}")
+            if share_relay:
+                from .share_tunnel import start_share_client
+
+                start_share_client(share_relay, port)
+                print(f"[+] sharing through relay {share_relay}")
             serve(port, host=host)
             break
         except OSError:

@@ -1,0 +1,235 @@
+"""First-party public-share tunnel (the reference's --share, self-hosted).
+
+The reference exposes the UI publicly through gradio's third-party FRP
+relay (/root/reference/app.py:49-60). This build ships both halves of an
+equivalent, dependency-free tunnel instead:
+
+  relay  (run on any box with a public address):
+      python -m polgen_rvc_tpu.app.share_tunnel relay \
+          --public-port 8080 --tunnel-port 8081
+  app    (behind NAT, dials OUT to the relay):
+      python -m polgen_rvc_tpu.app.main --share RELAY_HOST:8081
+
+One outbound TCP connection carries every browser session, multiplexed
+with a tiny binary framing:
+
+    frame := stream_id:u32be  kind:u8  length:u32be  payload[length]
+    kind  := 0 OPEN (relay->app: new browser connection)
+             1 DATA (either direction)
+             2 CLOSE (either direction)
+
+The relay accepts browsers on --public-port, assigns each a stream id,
+and forwards bytes; the app side opens a loopback connection to the UI
+server per stream and pipes. No auth is built in — the relay exposes
+exactly what the UI exposes, so run it only where the reference's
+gradio share link would have been acceptable. Loopback-tested end to
+end in tests/test_share_tunnel.py (zero egress here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import struct
+import threading
+
+_HDR = struct.Struct(">IBI")
+OPEN, DATA, CLOSE = 0, 1, 2
+_CHUNK = 65536
+
+
+def _send_frame(sock: socket.socket, lock: threading.Lock, stream_id: int,
+                kind: int, payload: bytes = b"") -> None:
+    with lock:
+        sock.sendall(_HDR.pack(stream_id, kind, len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        part = sock.recv(n - len(buf))
+        if not part:
+            raise ConnectionError("tunnel closed")
+        buf += part
+    return buf
+
+
+def _pipe_to_tunnel(conn: socket.socket, tunnel: socket.socket,
+                    lock: threading.Lock, stream_id: int) -> None:
+    """Local/browser socket -> framed tunnel; CLOSE on EOF."""
+    try:
+        while True:
+            data = conn.recv(_CHUNK)
+            if not data:
+                break
+            _send_frame(tunnel, lock, stream_id, DATA, data)
+    except OSError:
+        pass
+    try:
+        _send_frame(tunnel, lock, stream_id, CLOSE)
+    except OSError:
+        pass
+
+
+class _Streams:
+    """stream_id -> local socket, with locked mutation."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._socks: dict = {}
+
+    def put(self, sid: int, sock) -> None:
+        with self._lock:
+            self._socks[sid] = sock
+
+    def get(self, sid: int):
+        with self._lock:
+            return self._socks.get(sid)
+
+    def pop(self, sid: int):
+        with self._lock:
+            return self._socks.pop(sid, None)
+
+    def close_all(self) -> None:
+        with self._lock:
+            socks, self._socks = list(self._socks.values()), {}
+        for s in socks:
+            try:
+                s.close()
+            except OSError:
+                pass
+
+
+def _demux_loop(tunnel: socket.socket, streams: _Streams, on_open=None,
+                lock: threading.Lock = None) -> None:
+    """Read frames off the tunnel and route them to per-stream sockets."""
+    try:
+        while True:
+            sid, kind, length = _HDR.unpack(_recv_exact(tunnel, _HDR.size))
+            payload = _recv_exact(tunnel, length) if length else b""
+            if kind == OPEN and on_open is not None:
+                on_open(sid)
+            elif kind == DATA:
+                sock = streams.get(sid)
+                if sock is not None:
+                    try:
+                        sock.sendall(payload)
+                    except OSError:
+                        streams.pop(sid)
+            elif kind == CLOSE:
+                sock = streams.pop(sid)
+                if sock is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+    except (ConnectionError, OSError):
+        streams.close_all()
+
+
+# ---------------------------------------------------------------------------
+# app side
+# ---------------------------------------------------------------------------
+
+
+def start_share_client(relay: str, local_port: int) -> threading.Thread:
+    """Dial the relay's tunnel port and serve OPEN requests by proxying to
+    the local UI server. Returns the (daemon) demux thread."""
+    host, _, port_s = relay.partition(":")
+    tunnel = socket.create_connection((host, int(port_s) or 8081))
+    lock = threading.Lock()
+    streams = _Streams()
+
+    def on_open(sid: int) -> None:
+        try:
+            local = socket.create_connection(("127.0.0.1", local_port))
+        except OSError:
+            _send_frame(tunnel, lock, sid, CLOSE)
+            return
+        streams.put(sid, local)
+        threading.Thread(
+            target=_pipe_to_tunnel, args=(local, tunnel, lock, sid),
+            daemon=True,
+        ).start()
+
+    t = threading.Thread(
+        target=_demux_loop, args=(tunnel, streams, on_open, lock), daemon=True
+    )
+    t.start()
+    return t
+
+
+# ---------------------------------------------------------------------------
+# relay side
+# ---------------------------------------------------------------------------
+
+
+def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
+              ready_event: threading.Event = None,
+              stop_event: threading.Event = None) -> None:
+    """Accept ONE app tunnel and any number of browsers; forward between."""
+    tsrv = socket.create_server((host, tunnel_port))
+    psrv = socket.create_server((host, public_port))
+    tsrv.settimeout(0.5)
+    psrv.settimeout(0.5)
+    if ready_event is not None:
+        ready_event.set()
+
+    tunnel = None
+    lock = threading.Lock()
+    streams = _Streams()
+    next_sid = [1]
+
+    def wait_tunnel():
+        nonlocal tunnel
+        while stop_event is None or not stop_event.is_set():
+            try:
+                tunnel, _ = tsrv.accept()
+            except socket.timeout:
+                continue
+            threading.Thread(
+                target=_demux_loop, args=(tunnel, streams, None, lock),
+                daemon=True,
+            ).start()
+            return
+
+    threading.Thread(target=wait_tunnel, daemon=True).start()
+    try:
+        while stop_event is None or not stop_event.is_set():
+            try:
+                browser, _ = psrv.accept()
+            except socket.timeout:
+                continue
+            if tunnel is None:
+                browser.close()  # no app attached yet
+                continue
+            sid = next_sid[0]
+            next_sid[0] += 1
+            streams.put(sid, browser)
+            _send_frame(tunnel, lock, sid, OPEN)
+            threading.Thread(
+                target=_pipe_to_tunnel, args=(browser, tunnel, lock, sid),
+                daemon=True,
+            ).start()
+    finally:
+        tsrv.close()
+        psrv.close()
+        streams.close_all()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="share_tunnel")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("relay", help="run the public relay")
+    r.add_argument("--public-port", type=int, default=8080)
+    r.add_argument("--tunnel-port", type=int, default=8081)
+    r.add_argument("--host", default="0.0.0.0")
+    args = ap.parse_args(argv)
+    if args.cmd == "relay":
+        print(f"share relay: browsers -> :{args.public_port}, "
+              f"app tunnel -> :{args.tunnel_port}")
+        run_relay(args.public_port, args.tunnel_port, host=args.host)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""First-party --share tunnel: loopback end-to-end (relay + app + browser).
+
+The reference's --share is gradio's third-party FRP tunnel (app.py:49-60);
+this build ships its own relay (app/share_tunnel.py). Zero egress here, so
+all three roles run on loopback: a local HTTP "UI", the relay, the app-side
+client dialing the relay, and an http.client "browser" hitting the relay's
+public port.
+"""
+
+import http.client
+import http.server
+import socket
+import threading
+import time
+
+from polgen_rvc_tpu.app.share_tunnel import run_relay, start_share_client
+
+
+def _free_port():
+    s = socket.create_server(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        body = f"polgen:{self.path}".encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = b"echo:" + self.rfile.read(n)
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_share_tunnel_roundtrip():
+    ui_port, public_port, tunnel_port = _free_port(), _free_port(), _free_port()
+
+    ui = http.server.ThreadingHTTPServer(("127.0.0.1", ui_port), _Handler)
+    threading.Thread(target=ui.serve_forever, daemon=True).start()
+
+    ready, stop = threading.Event(), threading.Event()
+    threading.Thread(
+        target=run_relay,
+        args=(public_port, tunnel_port),
+        kwargs={"host": "127.0.0.1", "ready_event": ready,
+                "stop_event": stop},
+        daemon=True,
+    ).start()
+    assert ready.wait(5.0)
+
+    start_share_client(f"127.0.0.1:{tunnel_port}", ui_port)
+    time.sleep(0.3)  # let the relay accept the tunnel
+
+    try:
+        # two sequential browser sessions through the public port
+        for path in ("/", "/api/models"):
+            conn = http.client.HTTPConnection("127.0.0.1", public_port,
+                                              timeout=5)
+            conn.request("GET", path)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.read() == f"polgen:{path}".encode()
+            conn.close()
+
+        # a POST with a body (exercises DATA frames both ways)
+        conn = http.client.HTTPConnection("127.0.0.1", public_port, timeout=5)
+        payload = b"x" * 200_000  # multiple 64k frames
+        conn.request("POST", "/convert", body=payload)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.read() == b"echo:" + payload
+        conn.close()
+
+        # concurrent browsers (stream multiplexing)
+        results = []
+
+        def browse(i):
+            c = http.client.HTTPConnection("127.0.0.1", public_port,
+                                           timeout=5)
+            c.request("GET", f"/s{i}")
+            r = c.getresponse()
+            results.append((r.status, r.read()))
+            c.close()
+
+        threads = [threading.Thread(target=browse, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(5.0)
+        assert len(results) == 4
+        assert all(s == 200 for s, _ in results)
+        assert sorted(b for _, b in results) == sorted(
+            f"polgen:/s{i}".encode() for i in range(4)
+        )
+    finally:
+        stop.set()
+        ui.shutdown()
