@@ -20,19 +20,20 @@ from ..utils.progress import NULL_PROGRESS, ProgressReporter
 
 OUTPUT_DIR = os.path.join(os.getcwd(), "output")
 
-# reference UI defaults (tabs/processing/processing.py:384-403)
+# reference UI defaults: the slider value= settings at
+# tabs/processing/processing.py:151-349 (= its all_default_values list)
 EFFECT_DEFAULTS = dict(
-    reverb_rm_size=0.15,
+    reverb_rm_size=0.1,
     reverb_wet=0.1,
     reverb_dry=0.8,
-    reverb_damping=0.7,
+    reverb_damping=0.9,
     reverb_width=1.0,
     low_shelf_gain=0.0,
     high_shelf_gain=0.0,
     compressor_ratio=4.0,
-    compressor_threshold=-16.0,
-    noise_gate_threshold=-30.0,
-    noise_gate_ratio=6.0,
+    compressor_threshold=-12.0,
+    noise_gate_threshold=-40.0,
+    noise_gate_ratio=8.0,
     noise_gate_attack=10.0,
     noise_gate_release=100.0,
     chorus_rate_hz=0.0,

@@ -18,7 +18,10 @@ class ConversionOptions:
     pitch: float = 0.0            # semitones, -24..24
     f0_method: str = "rmvpe+"     # rmvpe+ | fcpe | mangio-crepe
     index_rate: float = 0.0       # 0..1 retrieval blend
-    filter_radius: int = 3        # median filter (crepe-family smoothing)
+    # filter_radius is accepted for surface parity but NOT applied — same as
+    # the reference, whose engine receives it into ignored **kwargs
+    # (pipeline.py:139,163); no median filter ever runs on the F0 there.
+    filter_radius: int = 3
     volume_envelope: float = 0.25  # rms_mix_rate: 0=follow source, 1=keep output
     protect: float = 0.33         # <0.5 enables voiceless-consonant protection
     hop_length: int = 128         # crepe hop
