@@ -1,5 +1,6 @@
 """App launcher: python -m polgen_rvc_tpu.app.main
        [--port N] [--open] [--listen] [--share RELAY_HOST:TUNNEL_PORT]
+       [--share-secret S]  (or POLGEN_SHARE_SECRET env)
 
 Mirrors the reference launcher semantics (app.py:46-77): default port 7860,
 --port override, --open launches a browser, port-retry loop decrementing on
@@ -13,6 +14,7 @@ filesystem paths, so external exposure is opt-in).
 
 from __future__ import annotations
 
+import os
 import sys
 import webbrowser
 
@@ -42,18 +44,28 @@ def main(argv=None):
             print("[!] --share needs a relay address (HOST:TUNNEL_PORT); "
                   "run `python -m polgen_rvc_tpu.app.share_tunnel relay` "
                   "on a public host first. Serving locally only.")
+    share_secret = os.environ.get("POLGEN_SHARE_SECRET", "")
+    if "--share-secret" in argv:
+        idx = argv.index("--share-secret") + 1
+        if idx < len(argv):
+            share_secret = argv[idx]
     host = "0.0.0.0" if "--listen" in argv else "127.0.0.1"
     port = get_port_from_args(argv)
+
+    def on_bound(bound_port: int) -> None:
+        # runs only after the UI socket bound: a failed bind + port retry
+        # never dials the relay for a dead port
+        if "--open" in argv:
+            webbrowser.open(f"http://localhost:{bound_port}")
+        if share_relay:
+            from .share_tunnel import start_share_client
+
+            start_share_client(share_relay, bound_port, secret=share_secret)
+            print(f"[+] sharing through relay {share_relay}")
+
     for _ in range(MAX_PORT_ATTEMPTS):
         try:
-            if "--open" in argv:
-                webbrowser.open(f"http://localhost:{port}")
-            if share_relay:
-                from .share_tunnel import start_share_client
-
-                start_share_client(share_relay, port)
-                print(f"[+] sharing through relay {share_relay}")
-            serve(port, host=host)
+            serve(port, host=host, on_bound=on_bound)
             break
         except OSError:
             print(f"could not bind port {port}, retrying on port {port - 1}...")

@@ -20,15 +20,20 @@ with a tiny binary framing:
 
 The relay accepts browsers on --public-port, assigns each a stream id,
 and forwards bytes; the app side opens a loopback connection to the UI
-server per stream and pipes. No auth is built in — the relay exposes
-exactly what the UI exposes, so run it only where the reference's
-gradio share link would have been acceptable. Loopback-tested end to
-end in tests/test_share_tunnel.py (zero egress here).
+server per stream and pipes. The tunnel port requires a shared-secret
+handshake (`--secret` on the relay, the same value on the app side) so a
+public relay's control port cannot be claimed by a stranger; the UI it
+publishes accepts filesystem paths, so only expose it where the
+reference's gradio share link would have been acceptable. The relay
+survives app restarts: when a tunnel dies it drops its streams and
+re-accepts a replacement. Loopback-tested end to end in
+tests/test_share_tunnel.py (zero egress here).
 """
 
 from __future__ import annotations
 
 import argparse
+import hmac
 import socket
 import struct
 import threading
@@ -36,6 +41,39 @@ import threading
 _HDR = struct.Struct(">IBI")
 OPEN, DATA, CLOSE = 0, 1, 2
 _CHUNK = 65536
+_MAGIC = b"POLGEN-SHARE-1 "
+_HANDSHAKE_MAX = 256
+
+
+def _send_handshake(sock: socket.socket, secret: str) -> None:
+    sock.sendall(_MAGIC + secret.encode() + b"\n")
+
+
+def _check_handshake(sock: socket.socket, secret: str,
+                     timeout: float = 5.0) -> bool:
+    """Read `MAGIC secret\\n` off a fresh tunnel connection; constant-time
+    secret compare. Returns False on timeout/garbage/mismatch."""
+    sock.settimeout(timeout)
+    try:
+        buf = b""
+        while b"\n" not in buf:
+            if len(buf) > _HANDSHAKE_MAX:
+                return False
+            part = sock.recv(_HANDSHAKE_MAX)
+            if not part:
+                return False
+            buf += part
+        line = buf.split(b"\n", 1)[0]
+        if not line.startswith(_MAGIC):
+            return False
+        return hmac.compare_digest(line[len(_MAGIC):], secret.encode())
+    except OSError:
+        return False
+    finally:
+        try:
+            sock.settimeout(None)
+        except OSError:
+            pass
 
 
 def _send_frame(sock: socket.socket, lock: threading.Lock, stream_id: int,
@@ -132,11 +170,13 @@ def _demux_loop(tunnel: socket.socket, streams: _Streams, on_open=None,
 # ---------------------------------------------------------------------------
 
 
-def start_share_client(relay: str, local_port: int) -> threading.Thread:
+def start_share_client(relay: str, local_port: int,
+                       secret: str = "") -> threading.Thread:
     """Dial the relay's tunnel port and serve OPEN requests by proxying to
     the local UI server. Returns the (daemon) demux thread."""
     host, _, port_s = relay.partition(":")
     tunnel = socket.create_connection((host, int(port_s) or 8081))
+    _send_handshake(tunnel, secret)
     lock = threading.Lock()
     streams = _Streams()
 
@@ -166,8 +206,11 @@ def start_share_client(relay: str, local_port: int) -> threading.Thread:
 
 def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
               ready_event: threading.Event = None,
-              stop_event: threading.Event = None) -> None:
-    """Accept ONE app tunnel and any number of browsers; forward between."""
+              stop_event: threading.Event = None,
+              secret: str = "") -> None:
+    """Accept app tunnels (one live at a time, re-accepted after disconnect)
+    and any number of browsers; forward between. Tunnel connections must
+    pass the shared-secret handshake or they are dropped."""
     tsrv = socket.create_server((host, tunnel_port))
     psrv = socket.create_server((host, public_port))
     tsrv.settimeout(0.5)
@@ -175,23 +218,43 @@ def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
     if ready_event is not None:
         ready_event.set()
 
-    tunnel = None
     lock = threading.Lock()
     streams = _Streams()
     next_sid = [1]
+    # the live tunnel socket; None while no (authenticated) app is attached
+    tunnel_box: dict = {"sock": None}
+
+    def drop_tunnel(sock) -> None:
+        with lock:
+            if tunnel_box["sock"] is sock:
+                tunnel_box["sock"] = None
+        streams.close_all()
 
     def wait_tunnel():
-        nonlocal tunnel
         while stop_event is None or not stop_event.is_set():
             try:
-                tunnel, _ = tsrv.accept()
+                cand, _ = tsrv.accept()
             except socket.timeout:
                 continue
-            threading.Thread(
-                target=_demux_loop, args=(tunnel, streams, None, lock),
-                daemon=True,
-            ).start()
-            return
+            except OSError:
+                return
+            if not _check_handshake(cand, secret):
+                try:
+                    cand.close()
+                except OSError:
+                    pass
+                continue
+            # a replacement tunnel supersedes the old one; its streams are
+            # dead either way
+            streams.close_all()
+            with lock:
+                tunnel_box["sock"] = cand
+
+            def demux(sock=cand):
+                _demux_loop(sock, streams, None, lock)
+                drop_tunnel(sock)
+
+            threading.Thread(target=demux, daemon=True).start()
 
     threading.Thread(target=wait_tunnel, daemon=True).start()
     try:
@@ -200,13 +263,22 @@ def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
                 browser, _ = psrv.accept()
             except socket.timeout:
                 continue
+            tunnel = tunnel_box["sock"]
             if tunnel is None:
                 browser.close()  # no app attached yet
                 continue
             sid = next_sid[0]
             next_sid[0] += 1
             streams.put(sid, browser)
-            _send_frame(tunnel, lock, sid, OPEN)
+            try:
+                _send_frame(tunnel, lock, sid, OPEN)
+            except OSError:
+                # tunnel died between accept and OPEN: drop it and keep
+                # serving — the app can re-dial (wait_tunnel still runs)
+                streams.pop(sid)
+                browser.close()
+                drop_tunnel(tunnel)
+                continue
             threading.Thread(
                 target=_pipe_to_tunnel, args=(browser, tunnel, lock, sid),
                 daemon=True,
@@ -224,11 +296,16 @@ def main(argv=None):
     r.add_argument("--public-port", type=int, default=8080)
     r.add_argument("--tunnel-port", type=int, default=8081)
     r.add_argument("--host", default="0.0.0.0")
+    r.add_argument("--secret", default="",
+                   help="shared secret the app must present on the tunnel "
+                        "port (default: empty — open relay)")
     args = ap.parse_args(argv)
     if args.cmd == "relay":
         print(f"share relay: browsers -> :{args.public_port}, "
-              f"app tunnel -> :{args.tunnel_port}")
-        run_relay(args.public_port, args.tunnel_port, host=args.host)
+              f"app tunnel -> :{args.tunnel_port}"
+              + (" (secret required)" if args.secret else ""))
+        run_relay(args.public_port, args.tunnel_port, host=args.host,
+                  secret=args.secret)
 
 
 if __name__ == "__main__":

@@ -277,11 +277,16 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"error": str(e)}, code=400)
 
 
-def serve(port: int = 7860, host: str = "127.0.0.1"):
+def serve(port: int = 7860, host: str = "127.0.0.1", on_bound=None):
     """Serve the UI. Binds loopback by default (the reference's Gradio app
     also binds localhost unless --share); pass host="0.0.0.0" only behind
     an explicit --listen opt-in — the API accepts filesystem paths and
-    installs models, so it must not be network-reachable by default."""
+    installs models, so it must not be network-reachable by default.
+    `on_bound(port)` fires after the socket bound successfully but before
+    serving — the share client dials out from there, so a failed bind
+    never advertises a dead port through the relay."""
     httpd = ThreadingHTTPServer((host, port), Handler)
     print(f"PolGen-RVC-TPU UI on http://{host}:{port}")
+    if on_bound is not None:
+        on_bound(port)
     httpd.serve_forever()

@@ -554,10 +554,6 @@ class VoiceConverter:
         upp = self.synth_cfg.upp
         t_pad_tgt = self.tgt_sr * eng.x_pad
         rng = jax.random.PRNGKey(opts.seed)
-        rms_on_device = opts.volume_envelope != 1.0 and not (
-            opts.resample_sr >= eng.sample_rate
-            and opts.resample_sr != self.tgt_sr
-        )
 
         # song -> list of (bucket-local batch index, row, valid) in chunk
         # order; batches of different buckets have different row lengths, so
@@ -1003,16 +999,40 @@ class VoiceConverter:
             rows_fp: list = []
             gained: list = []
 
+            # neighborhood radius: a batch's rms2 knots + interpolation read
+            # at most ~2.5*hop2 of output beyond its own span, so with every
+            # middle batch spanning >= 3*hop2 one neighbor each side covers
+            # it (production configs always do: middle chunks carry
+            # >= (x_center - 2*x_query) s of content). Degenerate short-chunk
+            # configs widen the radius until r neighbors span the reach —
+            # bit-identical either way, because rows outside a knot's window
+            # add an exact 0.0 to its sum (see _gain_rows_fn).
+            batch_span = [
+                sum(chunk_outn[ci] for ci in idxs) for idxs in batch_idxs
+            ]
+            gain_radius = 1
+            if n_batches > 2:
+                min_mid = min(batch_span[1:-1])
+                if min_mid < 3 * hop2:
+                    gain_radius = min(
+                        n_batches - 1,
+                        int(np.ceil(3 * hop2 / max(min_mid, 1))),
+                    )
+
             def dispatch_gain(bi):
-                """Gain + int16 for batch bi from its 1-batch neighborhood
-                (rows ascend in global order; zero rows add exactly 0)."""
-                prev = rows_fp[bi - 1] if bi > 0 else zero_rows
-                nxt = (
-                    rows_fp[bi + 1] if bi + 1 < len(rows_fp) else zero_rows
+                """Gain + int16 for batch bi from its gain_radius-batch
+                neighborhood (rows ascend in global order; zero rows add
+                exactly 0)."""
+                span = range(bi - gain_radius, bi + gain_radius + 1)
+                stacked = jnp.concatenate(
+                    [
+                        rows_fp[bj] if 0 <= bj < len(rows_fp) else zero_rows
+                        for bj in span
+                    ],
+                    axis=0,
                 )
-                stacked = jnp.concatenate([prev, rows_fp[bi], nxt], axis=0)
-                offs = np.zeros(3 * B, np.int64)
-                for j, bj in enumerate((bi - 1, bi, bi + 1)):
+                offs = np.zeros((2 * gain_radius + 1) * B, np.int64)
+                for j, bj in enumerate(span):
                     if 0 <= bj < n_batches:
                         for r in range(B):
                             ci = bj * B + r
@@ -1027,7 +1047,8 @@ class VoiceConverter:
                     * upp - 2 * t_pad_tgt
                 )
                 gfn = self._gain_rows_fn(
-                    3 * B, out_len_max, nf1, B, 2 * B, emit_len
+                    (2 * gain_radius + 1) * B, out_len_max, nf1,
+                    gain_radius * B, (gain_radius + 1) * B, emit_len
                 )
                 return gfn(
                     stacked, jnp.asarray(offs, jnp.int32), rms1k,
@@ -1129,13 +1150,17 @@ class VoiceConverter:
                         rf, ((0, 0), (0, out_len_max - rf.shape[1]))
                     )
                 rows_fp.append(rf)
-                # 1-batch lag: batch b's gain needs batch b+1's rows (RMS2
-                # windows cross the boundary by half a frame), so its int16
-                # fetch becomes available while b+2 is still computing
-                if len(rows_fp) >= 2:
-                    gained.append(dispatch_gain(len(rows_fp) - 2))
-        if rate_on and rows_fp:
-            gained.append(dispatch_gain(len(rows_fp) - 1))
+                # gain_radius-batch lag: batch b's gain needs rows through
+                # batch b+radius (RMS2 windows cross the boundary), so its
+                # int16 fetch becomes available while later batches compute
+                if len(rows_fp) >= gain_radius + 1:
+                    gained.append(
+                        dispatch_gain(len(rows_fp) - 1 - gain_radius)
+                    )
+        if rate_on:
+            for tb in range(max(0, len(rows_fp) - gain_radius),
+                            len(rows_fp)):
+                gained.append(dispatch_gain(tb))
 
         # pipelined per-batch fetch: each np.asarray blocks only until ITS
         # batch finished + transferred, overlapping the remaining batches'

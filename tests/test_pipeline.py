@@ -293,3 +293,59 @@ def test_device_gain_matches_reference_rms_math(converter):
     err = np.abs(want[:n] - got[:n])
     denom = np.abs(want[:n]).max()
     assert err.max() / denom < 5e-3, f"gain mismatch {err.max() / denom}"
+
+
+def test_gain_neighborhood_widens_for_short_middle_chunks(
+    converter, monkeypatch
+):
+    """A middle chunk much shorter than the RMS2 reach (3*hop2 of output)
+    must not corrupt the streaming gain path: convert() widens its
+    neighborhood radius until the knot sums see every contributing row,
+    matching convert_batch()'s whole-song gain graph (the ground truth).
+
+    Cut points are pinned (frame-aligned) so the 4-5 s chunk yields ~1 s
+    of output, under the 1.5 s (3*hop2 @48k) reach -> radius 2. The
+    stochastic sites are disabled (noise draws are bucket-shaped, and the
+    two paths legitimately use different buckets here); the residual
+    tolerance is the 1-ulp int16 flip different reduction shapes allow."""
+    import dataclasses
+    from unittest import mock
+
+    import polgen_rvc_tpu.models.nsf as nsf_mod
+
+    monkeypatch.setattr(
+        "polgen_rvc_tpu.pipeline.chunking.find_cut_points",
+        lambda audio, cfg: [64000, 80000, 128000],  # 4 s, 5 s, 8 s
+    )
+
+    eng = dataclasses.replace(
+        converter.engine, x_query=1, x_center=3, x_max=4, chunk_batch=1,
+        noise_scale=0.0,
+    )
+    vc = VoiceConverter(
+        synth_cfg=converter.synth_cfg,
+        synth_params=converter.synth_params,
+        hubert_cfg=converter.hubert_cfg,
+        hubert_params=converter.hubert_params,
+        rmvpe_params=converter.rmvpe_params,
+        index_bank=converter.index_bank,
+        engine=eng,
+    )
+    song = _song(11.0, seed=7)
+    opts = ConversionOptions(
+        index_rate=0.5, protect=0.33, volume_envelope=0.25, seed=3
+    )
+
+    def no_noise_normal(key, shape, dtype=np.float32):
+        return jnp.zeros(shape, dtype)
+
+    with mock.patch.object(nsf_mod.jax.random, "normal", no_noise_normal):
+        serial, sr_a = vc.convert(song, opts)
+        batch, sr_b = vc.convert_batch([song], opts)[0]
+    assert sr_a == sr_b
+    assert serial.shape == batch.shape
+    d = np.abs(serial.astype(np.int32) - batch.astype(np.int32))
+    # a too-narrow neighborhood loses whole rows from knot sums: percent-
+    # level gain error, hundreds of int16 counts — 1 ulp means coverage
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 0.01, (d > 0).mean()

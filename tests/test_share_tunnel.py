@@ -107,3 +107,67 @@ def test_share_tunnel_roundtrip():
     finally:
         stop.set()
         ui.shutdown()
+
+
+def test_share_tunnel_secret_and_reconnect():
+    """Wrong-secret tunnels are rejected; the relay survives a tunnel death
+    and serves again through a replacement (ADVICE round-2 hardening)."""
+    ui_port, public_port, tunnel_port = _free_port(), _free_port(), _free_port()
+    ui = http.server.ThreadingHTTPServer(("127.0.0.1", ui_port), _Handler)
+    threading.Thread(target=ui.serve_forever, daemon=True).start()
+
+    ready, stop = threading.Event(), threading.Event()
+    threading.Thread(
+        target=run_relay,
+        args=(public_port, tunnel_port),
+        kwargs={"host": "127.0.0.1", "ready_event": ready,
+                "stop_event": stop, "secret": "hunter2"},
+        daemon=True,
+    ).start()
+    assert ready.wait(5.0)
+
+    def get(path, expect_ok=True):
+        conn = http.client.HTTPConnection("127.0.0.1", public_port, timeout=5)
+        try:
+            conn.request("GET", path)
+            resp = conn.getresponse()
+            body = resp.read()
+            return resp.status, body
+        finally:
+            conn.close()
+
+    try:
+        # 1) wrong secret: tunnel is dropped, public port refuses service
+        #    (connection closed with no app attached)
+        start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
+                           secret="wrong")
+        time.sleep(0.4)
+        try:
+            status, _ = get("/")
+            assert False, f"expected closed connection, got {status}"
+        except (http.client.HTTPException, OSError):
+            pass
+
+        # 2) right secret: serves
+        t1 = start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
+                                secret="hunter2")
+        time.sleep(0.4)
+        assert get("/") == (200, b"polgen:/")
+
+        # 3) simulate an app crash: attach a raw (authenticated) tunnel that
+        #    supersedes the live one, then kill it — the relay must notice
+        #    the dead tunnel and accept a replacement that serves again
+        from polgen_rvc_tpu.app.share_tunnel import _send_handshake
+
+        dead = socket.create_connection(("127.0.0.1", tunnel_port))
+        _send_handshake(dead, "hunter2")
+        time.sleep(0.4)
+        dead.close()  # app "restarts"
+        time.sleep(0.4)
+        start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
+                           secret="hunter2")
+        time.sleep(0.4)
+        assert get("/again") == (200, b"polgen:/again")
+    finally:
+        stop.set()
+        ui.shutdown()
