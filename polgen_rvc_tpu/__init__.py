@@ -50,4 +50,13 @@ def enable_compilation_cache(path: str | None = None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags
+    # Pallas kernels embed source locations in their serialized Mosaic
+    # payload, which re-keys every Pallas-bearing graph on unrelated source
+    # edits (and even on a different entry script). Strip them so the
+    # persistent cache actually persists. See utils/cache_determinism.py.
+    from .utils.cache_determinism import (
+        ensure_deterministic_pallas_cache_keys,
+    )
+
+    ensure_deterministic_pallas_cache_keys()
 
