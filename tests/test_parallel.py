@@ -109,6 +109,62 @@ def test_engine_with_mesh_dp_tp(rng):
     )
     out2, _ = vc2.convert(audio, ConversionOptions(index_rate=0.4, protect=0.2))
     n = min(len(out), len(out2))
-    np.testing.assert_allclose(
-        out[:n].astype(np.float64), out2[:n].astype(np.float64), atol=2.0
+    d = np.abs(out[:n].astype(np.int32) - out2[:n].astype(np.int32))
+    # tolerance derivation: noise keys are packing-invariant and DP rows are
+    # computed independently, so the only fp source is GSPMD compiling
+    # different fusions/reduction orders than the single-device executable
+    # (TP additionally reorders matmul partial sums). That is ulp-level fp32
+    # drift BEFORE the int16 quantizer, so it can flip a rounding decision by
+    # at most one count. Measured over dp4x1 and dp4x2: max exactly 1,
+    # ~0.22% of samples (see round-3 notes).
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 0.01, (d > 0).mean()
+
+
+def test_engine_mesh_convert_batch_multisong(rng):
+    """Multi-song packed DP convert_batch on the mesh must match the
+    unsharded result to the same 1-ulp bound as convert()."""
+    from polgen_rvc_tpu.pipeline.config import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    eng = EngineConfig(x_pad=1, x_query=2, x_center=4, x_max=5,
+                       chunk_batch=4, bucket_step_s=2)
+    t1 = np.arange(16000 * 7) / 16000
+    t2 = np.arange(16000 * 5) / 16000
+    songs = [
+        (0.3 * np.sin(2 * np.pi * 220 * t1)
+         + 0.01 * rng.standard_normal(t1.size)).astype(np.float32),
+        (0.25 * np.sin(2 * np.pi * 330 * t2)
+         + 0.01 * rng.standard_normal(t2.size)).astype(np.float32),
+    ]
+    opts = ConversionOptions(index_rate=0.4, protect=0.2, seed=5)
+    vc = build_synthetic_converter(
+        tiny=True, sr=48000, index_vectors=64, engine=eng,
+        mesh=make_mesh(4, 2),
     )
+    vc2 = build_synthetic_converter(
+        tiny=True, sr=48000, index_vectors=64, engine=eng, mesh=None
+    )
+    got = vc.convert_batch(songs, opts)
+    want = vc2.convert_batch(songs, opts)
+    assert len(got) == len(want) == 2
+    for (a, sra), (b, srb) in zip(got, want):
+        assert sra == srb and a.shape == b.shape
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, d.max()
+
+
+@pytest.mark.parametrize("n", [2, 6])
+def test_dryrun_multichip_other_mesh_shapes(n):
+    """The driver hook's mesh-shape branches: n=2 -> pure-DP 2x1, n=6 ->
+    3x2 DP*TP (the driver itself only ever runs one shape, VERDICT r2 #8).
+    Uses the conftest-provisioned 8 CPU devices, which satisfies the
+    hook's self-provisioning check."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(n)
