@@ -92,9 +92,20 @@ def main():
 
     opts = ConversionOptions(index_rate=0.5, protect=0.33, volume_envelope=0.25)
 
-    # warm-up: compiles/loads every bucket graph used below (warm cache:
-    # ~12-15 min of executable loading through the tunnel; cold: much longer)
-    print("bench: warm-up convert (graph compile/load)...",
+    # warm-up phase 1: the heavyweight graph loads (F0 + one chunk graph
+    # per bucket, ~90 s EACH through the remote-PJRT relay even on
+    # persistent-cache hits) happen concurrently in prewarm
+    print("bench: prewarm (parallel heavy-graph loads)...",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    n_warm = vc.prewarm(song, opts)
+    print(f"bench: prewarm loaded {n_warm} graphs in "
+          f"{time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # warm-up phase 2: one full convert loads the remaining small graphs
+    # (RMS/gain/finalize) and verifies the end-to-end path
+    print("bench: warm-up convert (small-graph loads)...",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     vc.convert(song, opts)

@@ -7,7 +7,6 @@ in tests/test_ops_*.py.
 """
 
 from .conv import conv1d, conv2d, conv_transpose1d, conv_transpose2d
-from .interpolate import interpolate_linear, interpolate_nearest, upsample_nearest
 from .audio import (
     frame_signal,
     hann_window,
@@ -18,7 +17,6 @@ from .audio import (
 from .rnn import gru, bigru
 from .resample import resample
 from .filters import butter_highpass, highpass_filtfilt, filtfilt_jax, sosfilt
-from .envelope import rms_envelope, transfer_rms
 from .f0_utils import (
     pitch_shift,
     coarse_f0,

@@ -45,9 +45,12 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, im2col, *, c_in, tt):
         im2col[delta * c_in : (delta + 1) * c_in, :] = x[:, delta : delta + tt].astype(
             im2col.dtype
         )
+    # bf16 operands (both already bf16-stored), f32 accumulate: identical
+    # products to the former f32-cast dot, single-pass MXU instead of
+    # multi-pass fp32 emulation (see ops/pallas_resblock.py)
     y = jax.lax.dot_general(
-        w_ref[:].astype(jnp.float32),
-        im2col[:].astype(jnp.float32),
+        w_ref[:],
+        im2col[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

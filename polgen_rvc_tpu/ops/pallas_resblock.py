@@ -83,6 +83,15 @@ def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
         tile_i = pl.program_id(0) % n_tiles
         base = tile_i * Tt - H
 
+        # Elementwise stays f32 and every tile runs the masked chain:
+        # two variants measured on v5e and REJECTED (tools/bench_fold.py,
+        # see ROUND_NOTES) — (a) elementwise in bf16 (packed-lane
+        # selects/multiplies cost more than the halved VMEM traffic saves;
+        # C32fold 0.072->0.089 s; Mosaic also lacks bf16 cmpf, forcing an
+        # f32 compare anyway), (b) a pl.when interior/edge split skipping
+        # the per-conv edge zeroing on interior tiles (no win at any
+        # production shape — the doubled unrolled chain costs scheduling
+        # more than 18 iota+selects cost VPU).
         x_full = x_ref[0].astype(jnp.float32)  # (C, Tt+2H)
         acc = jnp.zeros((C, Tt), jnp.float32)
 
@@ -110,9 +119,16 @@ def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
                         im2col[kk * C : (kk + 1) * C, :out_w] = src[
                             :, kk * dil : kk * dil + out_w
                         ].astype(im2col.dtype)
+                    # bf16 x bf16 -> f32 accumulate: both operands are
+                    # already bf16-stored (weights packed bf16, im2col
+                    # scratch bf16), and bf16 products are EXACT in f32
+                    # (8-bit mantissas), so this equals the former
+                    # f32-cast dot while running single-pass on the MXU
+                    # instead of multi-pass fp32 emulation (~3x: the f32
+                    # variant measured at the fp32-MXU ceiling, ~60 TF/s)
                     y = jax.lax.dot_general(
-                        w_list[conv_idx][:].astype(jnp.float32),
-                        im2col[: k * C, :out_w].astype(jnp.float32),
+                        w_list[conv_idx][:],
+                        im2col[: k * C, :out_w],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )

@@ -140,6 +140,64 @@ class VoiceConverter:
         self._fcpe_fns = {}
         self._trim_fns = {}
 
+    def _put(self, a, *, replicated: bool = False):
+        """Host array -> device, batch-sharded over the mesh when present."""
+        a = jnp.asarray(a)
+        if self.mesh is None:
+            return a
+        from ..parallel.mesh import replicate, shard_batch
+
+        return replicate(a, self.mesh) if replicated else shard_batch(a, self.mesh)
+
+    def _assemble_rows(self, entries, p_len: int):
+        """Shared convert/convert_batch row assembly for one chunk batch.
+
+        entries: per-row (chunk, chunk_id, pitch_full, pitchf_full) where
+        pitch_full/pitchf_full are the row's song-level host F0 arrays or
+        None (None = the graph slices device-resident F0 itself, or the
+        model is f0-free). Rows beyond len(entries) are padding.
+
+        Returns a dict of host arrays with the layout both call paths feed
+        the chunk graph: mask/hub_valid/sample lens+starts/f0 rows/noise
+        ids plus the per-row valid frame counts — keeping the two
+        orchestrators bit-identical by construction instead of by test.
+        """
+        eng = self.engine
+        B = eng.chunk_batch
+        window = eng.window
+        pitch_b = np.ones((B, p_len), np.int32)
+        pitchf_b = np.zeros((B, p_len), np.float32)
+        mask_b = np.zeros((B, p_len), np.float32)
+        starts = np.zeros(B, np.int32)
+        samp_starts = np.zeros(B, np.int32)
+        samp_lens = np.zeros(B, np.int32)
+        hub_valid = np.zeros(B, np.int32)
+        ids_b = np.zeros(B, np.int32)
+        valid_frames = []
+        for row, (c, ci, pitch_full, pitchf_full) in enumerate(entries):
+            slice_len = c.slice_end - c.slice_start
+            samp_starts[row] = c.slice_start
+            samp_lens[row] = slice_len
+            hub_valid[row] = max(self.hubert_cfg.num_frames(slice_len), 0)
+            v = min(slice_len // window,
+                    2 * self.hubert_cfg.num_frames(slice_len), p_len)
+            valid_frames.append(v)
+            mask_b[row, :v] = 1.0
+            f0_lo = c.slice_start // window
+            starts[row] = f0_lo
+            ids_b[row] = ci
+            if pitch_full is not None:
+                seg_p = pitch_full[f0_lo : f0_lo + v]
+                seg_f = pitchf_full[f0_lo : f0_lo + v]
+                pitch_b[row, : len(seg_p)] = seg_p
+                pitchf_b[row, : len(seg_f)] = seg_f
+        return {
+            "pitch": pitch_b, "pitchf": pitchf_b, "mask": mask_b,
+            "starts": starts, "samp_starts": samp_starts,
+            "samp_lens": samp_lens, "hub_valid": hub_valid, "ids": ids_b,
+            "valid_frames": valid_frames,
+        }
+
     def _crepe_fn(self, bucket: int):
         if bucket not in self._crepe_fns:
             from ..models.crepe import crepe_salience
@@ -448,6 +506,7 @@ class VoiceConverter:
                 index_rate, protect, sid, key, chunk_ids, *dev_wav_args,
             )
 
+        fn._jitted = jitted  # introspection: prewarm zero-recompile test
         self._chunk_fns[key] = (fn, p_len)
         return self._chunk_fns[key]
 
@@ -550,7 +609,6 @@ class VoiceConverter:
 
         use_index = self.index_bank is not None and opts.index_rate > 0
         use_protect = use_f0 and opts.protect < 0.5
-        window = eng.window
         upp = self.synth_cfg.upp
         t_pad_tgt = self.tgt_sr * eng.x_pad
         rng = jax.random.PRNGKey(opts.seed)
@@ -572,64 +630,38 @@ class VoiceConverter:
             for g0 in range(0, len(work), eng.chunk_batch):
                 group = work[g0 : g0 + eng.chunk_batch]
                 wav = np.zeros((eng.chunk_batch, bucket_len), np.float32)
-                pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
-                pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
-                mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
-                hub_valid = np.zeros(eng.chunk_batch, np.int32)
-                samp_lens = np.zeros(eng.chunk_batch, np.int32)
                 for row, (si, ci) in enumerate(group):
                     rec = songs[si]
                     row_wav, _ = gather_chunk_batch(rec["plan"], [ci], eng)
                     wav[row] = row_wav[0]
-                    c = rec["plan"].chunks[ci]
-                    slice_len = c.slice_end - c.slice_start
-                    samp_lens[row] = slice_len
-                    hub_valid[row] = max(
-                        self.hubert_cfg.num_frames(slice_len), 0
+                # per-row noise keys fold in the SONG-LOCAL chunk index, so a
+                # packed row renders bit-identically to its serial conversion
+                rowset = self._assemble_rows(
+                    [
+                        (songs[si]["plan"].chunks[ci], ci,
+                         songs[si]["pitch"] if use_f0 else None,
+                         songs[si]["pitchf"] if use_f0 else None)
+                        for si, ci in group
+                    ],
+                    p_len,
+                )
+                for row, (si, ci) in enumerate(group):
+                    placements[si].append(
+                        (len(batch_outputs), row, rowset["valid_frames"][row])
                     )
-                    v = min(slice_len // window,
-                            2 * self.hubert_cfg.num_frames(slice_len), p_len)
-                    mask_b[row, :v] = 1.0
-                    if use_f0:
-                        f0_lo = c.slice_start // window
-                        seg_p = rec["pitch"][f0_lo : f0_lo + v]
-                        seg_f = rec["pitchf"][f0_lo : f0_lo + v]
-                        pitch_b[row, : len(seg_p)] = seg_p
-                        pitchf_b[row, : len(seg_f)] = seg_f
-                    placements[si].append((len(batch_outputs), row, v))
                 done_work += len(group)
                 progress(0.2 + 0.55 * done_work / max(total_work, 1),
                          f"converting {done_work}/{total_work} chunks")
                 sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
                 starts_b = np.zeros(eng.chunk_batch, np.int32)
-                # per-row noise keys fold in the SONG-LOCAL chunk index, so a
-                # packed row renders bit-identically to its serial conversion
-                ids_b = np.zeros(eng.chunk_batch, np.int32)
-                for row, (si, ci) in enumerate(group):
-                    ids_b[row] = ci
-                if self.mesh is not None:
-                    from ..parallel.mesh import shard_batch
-
-                    arrs = [
-                        shard_batch(jnp.asarray(a), self.mesh)
-                        for a in (wav, pitch_b, pitchf_b, starts_b, mask_b,
-                                  hub_valid)
-                    ]
-                    sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
-                    ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
-                else:
-                    arrs = [jnp.asarray(a)
-                            for a in (wav, pitch_b, pitchf_b, starts_b,
-                                      mask_b, hub_valid)]
-                    sid_d = jnp.asarray(sid_b)
-                    ids_d = jnp.asarray(ids_b)
-                if self.mesh is not None:
-                    slen_d = shard_batch(jnp.asarray(samp_lens), self.mesh)
-                else:
-                    slen_d = jnp.asarray(samp_lens)
-                out = fn(*arrs, jnp.float32(opts.index_rate),
-                         jnp.float32(opts.protect), sid_d, rng, ids_d,
-                         None, None, slen_d)
+                out = fn(
+                    self._put(wav), self._put(rowset["pitch"]),
+                    self._put(rowset["pitchf"]), self._put(starts_b),
+                    self._put(rowset["mask"]), self._put(rowset["hub_valid"]),
+                    jnp.float32(opts.index_rate), jnp.float32(opts.protect),
+                    self._put(sid_b), rng, self._put(rowset["ids"]),
+                    None, None, self._put(rowset["samp_lens"]),
+                )
                 # trim is fused into the chunk graph (emit): with the RMS
                 # envelope on, `out` is the masked f32 rows for the
                 # per-song gain graphs; otherwise it's (int16 rows, absmax)
@@ -807,6 +839,59 @@ class VoiceConverter:
         self._trim_fns[key] = fn
         return fn
 
+    def _gain_layout(self, plan, batch_idxs, batch_bucket, chunk_outn,
+                     n_audio: int, uploaded_w: int):
+        """Emit geometry of the RMS-gain graphs for one song: shared by
+        convert()'s dispatch_gain and prewarm() so both construct the SAME
+        _gain_rows_fn keys (any divergence would compile an unwarmed
+        graph at serving time)."""
+        eng = self.engine
+        window = eng.window
+        upp = self.synth_cfg.upp
+        t_pad_tgt = self.tgt_sr * eng.x_pad
+        hop2 = self.tgt_sr // 2
+        n_out_total = int(sum(chunk_outn))
+        p_len_max = min(
+            plan.bucket_len // window,
+            2 * self.hubert_cfg.num_frames(plan.bucket_len),
+        )
+        out_len_max = p_len_max * upp - 2 * t_pad_tgt
+        n_batches = len(batch_idxs)
+        # neighborhood radius: a batch's rms2 knots + interpolation read
+        # at most ~2.5*hop2 of output beyond its own span, so with every
+        # middle batch spanning >= 3*hop2 one neighbor each side covers
+        # it (production configs always do: middle chunks carry
+        # >= (x_center - 2*x_query) s of content). Degenerate short-chunk
+        # configs widen the radius until r neighbors span the reach —
+        # bit-identical either way, because rows outside a knot's window
+        # add an exact 0.0 to its sum (see _gain_rows_fn).
+        batch_span = [
+            sum(chunk_outn[ci] for ci in idxs) for idxs in batch_idxs
+        ]
+        gain_radius = 1
+        if n_batches > 2:
+            min_mid = min(batch_span[1:-1])
+            if min_mid < 3 * hop2:
+                gain_radius = min(
+                    n_batches - 1,
+                    int(np.ceil(3 * hop2 / max(min_mid, 1))),
+                )
+        # emit at each batch's own bucket width: fetched bytes stay exact
+        emit_lens = [
+            min(bb // window, 2 * self.hubert_cfg.num_frames(bb)) * upp
+            - 2 * t_pad_tgt
+            for bb in batch_bucket
+        ]
+        return {
+            "n1": 1 + n_audio // (eng.sample_rate // 2),
+            "n2": 1 + n_out_total // hop2,
+            "nf1": 1 + uploaded_w // 8000,
+            "n_out_total": n_out_total,
+            "out_len_max": out_len_max,
+            "gain_radius": gain_radius,
+            "emit_lens": emit_lens,
+        }
+
     def _rows_to_audio(self, fetched_rows):
         """[(seg int16 (n,), absmax)] -> concatenated float32 audio."""
         parts = [
@@ -846,6 +931,210 @@ class VoiceConverter:
     # ------------------------------------------------------------------
     # full pipeline
     # ------------------------------------------------------------------
+
+    def prewarm(self, audio16k: np.ndarray,
+                opts: ConversionOptions = ConversionOptions(),
+                max_workers: int = 8) -> int:
+        """Compile/load every heavyweight graph a convert() of this signal
+        will dispatch — CONCURRENTLY. Returns the number of graphs warmed.
+
+        In a remote-PJRT deployment (device behind a network relay, as
+        here), loading one cached chunk-graph executable takes ~90 s —
+        per graph, even on persistent-cache hits — so the first convert()
+        of a song pays ~5 back-to-back loads. Those loads are
+        relay/deserialize-bound, not device-bound, so a thread pool
+        overlaps them. Host-side only: graphs, shapes, and cache keys are
+        exactly convert()'s (argument construction goes through the same
+        _assemble_rows/_put helpers; tests/test_pipeline.py asserts a
+        prewarmed convert() triggers zero new compilations).
+        """
+        eng = self.engine
+        use_f0 = self.synth_cfg.use_f0
+        from ..ops.filters import highpass_filtfilt_pad_quant
+
+        n_in = int(np.asarray(audio16k).shape[0])
+        padded_len = n_in + 2 * eng.t_pad
+        step_q = _F0_FRAME_BUCKET * 160
+        bucket_q = max(int(np.ceil(padded_len / step_q)), 1) * step_q
+        fused = highpass_filtfilt_pad_quant(
+            np.asarray(audio16k, np.float64), eng.t_pad, bucket_q
+        )
+        if fused is not None:
+            audio, qbuf, inv_scale = fused
+            uploaded = (jnp.asarray(qbuf)[None], inv_scale, padded_len)
+        else:
+            audio = highpass_filtfilt(
+                np.asarray(audio16k, np.float64)
+            ).astype(np.float32)
+            padded = np.pad(
+                audio, (eng.t_pad, eng.t_pad), mode="reflect"
+            ).astype(np.float32)
+            uploaded = self._upload_audio(padded)
+        audio_buf = uploaded[0]
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            audio_buf = replicate(audio_buf, self.mesh)
+
+        plan = plan_chunks(audio, eng)
+        p_len_full = plan.padded_audio.shape[0] // eng.window
+        rate_on = opts.volume_envelope != 1.0
+        use_index = self.index_bank is not None and opts.index_rate > 0
+        use_protect = use_f0 and opts.protect < 0.5
+        emit = "trimf" if rate_on else "int16"
+        rng = jax.random.PRNGKey(opts.seed)
+
+        tasks = []
+        devf0_frames = None
+        pitch_dev = pitchf_dev = None
+        devf0_wanted = (
+            use_f0 and opts.f0_method in ("rmvpe+", "rmvpe")
+            and not opts.f0_file and self.rmvpe_params is not None
+        )
+        if devf0_wanted:
+            # the F0 graph is itself one of the heavy loads: dispatch it
+            # from the pool like the chunk graphs. Its (1, P) output shape
+            # keys the chunk graphs (devf0_frames), so get P by abstract
+            # evaluation — no compile, no execution.
+            f0fn = self._f0_fn(int(audio_buf.shape[1]),
+                               opts.f0_min, opts.f0_max)
+            out_sh = jax.eval_shape(
+                f0fn, self.rmvpe_params,
+                jax.ShapeDtypeStruct((1, int(audio_buf.shape[1])), jnp.int16),
+                jax.ShapeDtypeStruct((), jnp.float32), 0.03,
+                jax.ShapeDtypeStruct((), jnp.float32),
+            )
+            devf0_frames = int(out_sh[1].shape[1])
+            tasks.append((
+                lambda: self._rmvpe_dispatch(plan.padded_audio, opts,
+                                             uploaded)[:3],
+                None,
+            ))
+            # shape/dtype/placement stand-ins for the chunk graphs' pitch
+            # rows (values are irrelevant to compilation)
+            pitch_dev = jnp.ones((1, devf0_frames), jnp.int32)
+            pitchf_dev = jnp.zeros((1, devf0_frames), jnp.float32)
+            if self.mesh is not None:
+                pitch_dev = self._put(pitch_dev, replicated=True)
+                pitchf_dev = self._put(pitchf_dev, replicated=True)
+        host_f0 = None
+        if use_f0 and not devf0_wanted:
+            host_f0 = self.compute_f0(plan.padded_audio, p_len_full, opts)
+
+        n_chunks = len(plan.chunks)
+        B = eng.chunk_batch
+        step_bucket = eng.bucket_step_s * eng.sample_rate
+        batch_idxs = [
+            list(range(g0, min(g0 + B, n_chunks)))
+            for g0 in range(0, n_chunks, B)
+        ]
+        batch_bucket = [
+            max(
+                int(np.ceil(
+                    (plan.chunks[ci].slice_end - plan.chunks[ci].slice_start)
+                    / step_bucket
+                )) * step_bucket
+                for ci in idxs
+            )
+            for idxs in batch_idxs
+        ]
+        seen = set()
+        for idxs, bucket in zip(batch_idxs, batch_bucket):
+            if bucket in seen:
+                continue
+            seen.add(bucket)
+            fn, p_len = self._chunk_fn(
+                bucket, B, use_index=use_index, use_protect=use_protect,
+                use_f0=use_f0, devf0_frames=devf0_frames,
+                dev_wav_bucket=int(audio_buf.shape[1]), emit=emit,
+            )
+            rowset = self._assemble_rows(
+                [
+                    (plan.chunks[ci], ci,
+                     host_f0[0] if host_f0 is not None else None,
+                     host_f0[1] if host_f0 is not None else None)
+                    for ci in idxs
+                ],
+                p_len,
+            )
+            if pitch_dev is not None:
+                pitch_d, pitchf_d = pitch_dev, pitchf_dev
+            else:
+                pitch_d = self._put(rowset["pitch"])
+                pitchf_d = self._put(rowset["pitchf"])
+            sid_b = np.full((B,), opts.speaker_id, np.int32)
+            args = (
+                audio_buf, pitch_d, pitchf_d, self._put(rowset["starts"]),
+                self._put(rowset["mask"]), self._put(rowset["hub_valid"]),
+                jnp.float32(opts.index_rate), jnp.float32(opts.protect),
+                self._put(sid_b), rng, self._put(rowset["ids"]),
+                uploaded[1], self._put(rowset["samp_starts"]),
+                self._put(rowset["samp_lens"]),
+            )
+            tasks.append((fn, args))
+
+        if rate_on:
+            # the RMS1 + per-bucket gain graphs load from the pool too
+            # (same _gain_rows_fn keys as convert(): _gain_layout is the
+            # single source of the emit geometry)
+            window = eng.window
+            upp = self.synth_cfg.upp
+            t_pad_tgt = self.tgt_sr * eng.x_pad
+            chunk_outn = []
+            for c in plan.chunks:
+                slice_len = c.slice_end - c.slice_start
+                v = min(slice_len // window,
+                        2 * self.hubert_cfg.num_frames(slice_len))
+                chunk_outn.append(max(v * upp - 2 * t_pad_tgt, 0))
+            lay = self._gain_layout(
+                plan, batch_idxs, batch_bucket, chunk_outn,
+                audio.shape[0], int(audio_buf.shape[1]),
+            )
+            rms1fn = self._rms1_fn(int(audio_buf.shape[1]))
+            tasks.append((
+                lambda: rms1fn(uploaded[0], uploaded[1],
+                               jnp.int32(eng.t_pad),
+                               jnp.int32(audio.shape[0])),
+                None,
+            ))
+            n_rows = (2 * lay["gain_radius"] + 1) * B
+            zrows = jnp.zeros((n_rows, lay["out_len_max"]), jnp.float32)
+            zoffs = jnp.zeros(n_rows, jnp.int32)
+            zrms = jnp.zeros(lay["nf1"], jnp.float32)
+            for emit_len in sorted(set(lay["emit_lens"])):
+                gfn = self._gain_rows_fn(
+                    n_rows, lay["out_len_max"], lay["nf1"],
+                    lay["gain_radius"] * B, (lay["gain_radius"] + 1) * B,
+                    emit_len,
+                )
+                tasks.append((gfn, (
+                    zrows, zoffs, zrms, jnp.int32(lay["n1"]),
+                    jnp.int32(lay["n2"]), jnp.int32(lay["n_out_total"]),
+                    jnp.int32(0), jnp.float32(opts.volume_envelope),
+                )))
+
+        def run(task):
+            fn, args = task
+            return fn() if args is None else fn(*args)
+
+        if len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(tasks))
+            ) as pool:
+                outs = list(pool.map(run, tasks))
+        else:
+            outs = [run(t) for t in tasks]
+        # block until every graph finished (loads are the cost; the zero
+        # executions behind them are milliseconds)
+        for out in outs:
+            jax.tree.map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x,
+                out,
+            )
+        return len(tasks)
 
     def convert(
         self,
@@ -984,40 +1273,18 @@ class VoiceConverter:
                 uploaded[0], uploaded[1], jnp.int32(eng.t_pad),
                 jnp.int32(audio.shape[0]),
             )
-            n1 = 1 + audio.shape[0] // (eng.sample_rate // 2)
-            n2 = 1 + n_out_total // hop2
-            nf1 = 1 + uploaded[0].shape[1] // 8000
+            lay = self._gain_layout(
+                plan, batch_idxs, batch_bucket, chunk_outn,
+                audio.shape[0], uploaded[0].shape[1],
+            )
             # gain rows live at the SONG-max width so neighborhoods from
             # different-bucket batches stack; the zero tail beyond a row's
             # own out_len adds an exact 0 to every knot sum
-            p_len_max = min(
-                plan.bucket_len // window,
-                2 * self.hubert_cfg.num_frames(plan.bucket_len),
-            )
-            out_len_max = p_len_max * upp - 2 * t_pad_tgt
+            out_len_max = lay["out_len_max"]
+            gain_radius = lay["gain_radius"]
             zero_rows = jnp.zeros((B, out_len_max), jnp.float32)
             rows_fp: list = []
             gained: list = []
-
-            # neighborhood radius: a batch's rms2 knots + interpolation read
-            # at most ~2.5*hop2 of output beyond its own span, so with every
-            # middle batch spanning >= 3*hop2 one neighbor each side covers
-            # it (production configs always do: middle chunks carry
-            # >= (x_center - 2*x_query) s of content). Degenerate short-chunk
-            # configs widen the radius until r neighbors span the reach —
-            # bit-identical either way, because rows outside a knot's window
-            # add an exact 0.0 to its sum (see _gain_rows_fn).
-            batch_span = [
-                sum(chunk_outn[ci] for ci in idxs) for idxs in batch_idxs
-            ]
-            gain_radius = 1
-            if n_batches > 2:
-                min_mid = min(batch_span[1:-1])
-                if min_mid < 3 * hop2:
-                    gain_radius = min(
-                        n_batches - 1,
-                        int(np.ceil(3 * hop2 / max(min_mid, 1))),
-                    )
 
             def dispatch_gain(bi):
                 """Gain + int16 for batch bi from its gain_radius-batch
@@ -1040,19 +1307,15 @@ class VoiceConverter:
                                 offs[j * B + r] = chunk_off[ci]
                 k0 = max(0, int(chunk_off[min(bi * B, n_chunks - 1)])
                          // hop2 - 2)
-                # emit at batch bi's own width: fetched bytes stay exact
-                emit_len = (
-                    min(batch_bucket[bi] // window,
-                        2 * self.hubert_cfg.num_frames(batch_bucket[bi]))
-                    * upp - 2 * t_pad_tgt
-                )
                 gfn = self._gain_rows_fn(
-                    (2 * gain_radius + 1) * B, out_len_max, nf1,
-                    gain_radius * B, (gain_radius + 1) * B, emit_len
+                    (2 * gain_radius + 1) * B, out_len_max, lay["nf1"],
+                    gain_radius * B, (gain_radius + 1) * B,
+                    lay["emit_lens"][bi],
                 )
                 return gfn(
                     stacked, jnp.asarray(offs, jnp.int32), rms1k,
-                    jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out_total),
+                    jnp.int32(lay["n1"]), jnp.int32(lay["n2"]),
+                    jnp.int32(lay["n_out_total"]),
                     jnp.int32(k0), jnp.float32(opts.volume_envelope),
                 )
 
@@ -1067,77 +1330,35 @@ class VoiceConverter:
                 emit="trimf" if rate_on else "int16",
             )
             # device-side audio slicing: rows address the uploaded buffer;
-            # padding rows read a zero-length window
-            samp_starts = np.zeros(eng.chunk_batch, np.int32)
-            samp_lens = np.zeros(eng.chunk_batch, np.int32)
-            hub_valid = np.zeros(eng.chunk_batch, np.int32)
-            for row, ci in enumerate(idxs):
-                c = plan.chunks[ci]
-                samp_starts[row] = c.slice_start
-                samp_lens[row] = c.slice_end - c.slice_start
-                hub_valid[row] = max(
-                    self.hubert_cfg.num_frames(int(samp_lens[row])), 0
-                )
-
-            pitch_b = np.ones((eng.chunk_batch, p_len), np.int32)
-            pitchf_b = np.zeros((eng.chunk_batch, p_len), np.float32)
-            mask_b = np.zeros((eng.chunk_batch, p_len), np.float32)
-            starts = np.zeros(eng.chunk_batch, np.int32)
-            valid_frames = []
-            for row, ci in enumerate(idxs):
-                c = plan.chunks[ci]
-                v = chunk_v[ci]
-                valid_frames.append(v)
-                mask_b[row, :v] = 1.0
-                f0_lo = c.slice_start // window
-                starts[row] = f0_lo
-                if use_f0 and pitch_dev is None:
-                    seg_p = pitch_full[f0_lo : f0_lo + v]
-                    seg_f = pitchf_full[f0_lo : f0_lo + v]
-                    pitch_b[row, : len(seg_p)] = seg_p
-                    pitchf_b[row, : len(seg_f)] = seg_f
+            # padding rows read a zero-length window. Per-row noise keys
+            # fold in the chunk index (packing-invariant).
+            rowset = self._assemble_rows(
+                [
+                    (plan.chunks[ci], ci,
+                     pitch_full if (use_f0 and pitch_dev is None) else None,
+                     pitchf_full if (use_f0 and pitch_dev is None) else None)
+                    for ci in idxs
+                ],
+                p_len,
+            )
+            valid_frames = rowset["valid_frames"]
 
             progress(0.3 + 0.6 * g0 / max(n_chunks, 1),
                      f"converting chunks {g0 + 1}-{idxs[-1] + 1}/{n_chunks}")
             sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
-            # per-row noise keys fold in the chunk index (packing-invariant)
-            ids_b = np.zeros(eng.chunk_batch, np.int32)
-            ids_b[: len(idxs)] = idxs
             if pitch_dev is not None:
-                pitch_rows, pitchf_rows = pitch_dev, pitchf_dev  # (1, P)
+                # (1, P) device-resident F0, already replicated over the mesh
+                pitch_d, pitchf_d = pitch_dev, pitchf_dev
             else:
-                pitch_rows, pitchf_rows = pitch_b, pitchf_b  # (B, p_len)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-
-                if pitch_dev is not None:
-                    pitch_d, pitchf_d = pitch_rows, pitchf_rows  # replicated
-                else:
-                    pitch_d = shard_batch(jnp.asarray(pitch_rows), self.mesh)
-                    pitchf_d = shard_batch(jnp.asarray(pitchf_rows), self.mesh)
-                starts_d = shard_batch(jnp.asarray(starts), self.mesh)
-                mask_d = shard_batch(jnp.asarray(mask_b), self.mesh)
-                sid_d = shard_batch(jnp.asarray(sid_b), self.mesh)
-                ids_d = shard_batch(jnp.asarray(ids_b), self.mesh)
-                sstart_d = shard_batch(jnp.asarray(samp_starts), self.mesh)
-                slen_d = shard_batch(jnp.asarray(samp_lens), self.mesh)
-                hubv_d = shard_batch(jnp.asarray(hub_valid), self.mesh)
-            else:
-                pitch_d = pitch_rows if pitch_dev is not None else jnp.asarray(pitch_rows)
-                pitchf_d = pitchf_rows if pitch_dev is not None else jnp.asarray(pitchf_rows)
-                starts_d, mask_d, sid_d, ids_d = (
-                    jnp.asarray(starts),
-                    jnp.asarray(mask_b), jnp.asarray(sid_b),
-                    jnp.asarray(ids_b),
-                )
-                sstart_d = jnp.asarray(samp_starts)
-                slen_d = jnp.asarray(samp_lens)
-                hubv_d = jnp.asarray(hub_valid)
+                pitch_d = self._put(rowset["pitch"])
+                pitchf_d = self._put(rowset["pitchf"])
             out = fn(
-                audio_buf, pitch_d, pitchf_d, starts_d, mask_d, hubv_d,
+                audio_buf, pitch_d, pitchf_d, self._put(rowset["starts"]),
+                self._put(rowset["mask"]), self._put(rowset["hub_valid"]),
                 jnp.float32(opts.index_rate), jnp.float32(opts.protect),
-                sid_d, rng, ids_d,
-                uploaded[1], sstart_d, slen_d,
+                self._put(sid_b), rng, self._put(rowset["ids"]),
+                uploaded[1], self._put(rowset["samp_starts"]),
+                self._put(rowset["samp_lens"]),
             )
             # async dispatch: don't synchronize here — later batches overlap
             # with this one's execution and with host-side prep

@@ -16,9 +16,7 @@ from polgen_rvc_tpu.ops import (
     local_average_cents,
     pitch_shift,
     resample,
-    rms_envelope,
     salience_to_f0,
-    transfer_rms,
 )
 
 
@@ -86,7 +84,13 @@ def test_filtfilt_matches_scipy(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-4)
 
 
-def test_rms_envelope_and_transfer(rng):
+def test_change_rms_np_matches_torch_reference(rng):
+    """The production host mirror of AudioProcessor.change_rms
+    (pipeline/engine.py change_rms_np — the oracle the device gain graphs
+    are equality-tested against in test_pipeline) vs the reference's
+    torch/librosa semantics recomputed literally."""
+    from polgen_rvc_tpu.pipeline.engine import change_rms_np
+
     sr_s, sr_t = 16000, 32000
     src = rng.standard_normal(sr_s).astype(np.float32) * 0.5
     tgt = rng.standard_normal(sr_t).astype(np.float32) * 0.1
@@ -101,11 +105,8 @@ def test_rms_envelope_and_transfer(rng):
             out[i] = np.sqrt(np.mean(fr**2))
         return out
 
-    rms_ref = librosa_rms(src, sr_s // 2 * 2, sr_s // 2)
-    got = np.asarray(rms_envelope(jnp.asarray(src), sr_s // 2 * 2, sr_s // 2))
-    np.testing.assert_allclose(got, rms_ref, rtol=1e-5, atol=1e-6)
-
     rate = 0.25
+    rms_ref = librosa_rms(src, sr_s // 2 * 2, sr_s // 2)
     rms1 = F.interpolate(torch.from_numpy(rms_ref)[None, None], size=len(tgt), mode="linear").squeeze()
     rms2_ref = librosa_rms(tgt, sr_t // 2 * 2, sr_t // 2)
     rms2 = F.interpolate(torch.from_numpy(rms2_ref)[None, None], size=len(tgt), mode="linear").squeeze()
@@ -113,7 +114,7 @@ def test_rms_envelope_and_transfer(rng):
     ref_out = torch.from_numpy(tgt) * (
         torch.pow(rms1, 1 - rate) * torch.pow(rms2, rate - 1)
     )
-    got_out = np.asarray(transfer_rms(jnp.asarray(src), sr_s, jnp.asarray(tgt), sr_t, rate))
+    got_out = change_rms_np(src, sr_s, tgt.copy(), sr_t, rate)
     np.testing.assert_allclose(got_out, ref_out.numpy(), rtol=1e-4, atol=1e-5)
 
 

@@ -3,7 +3,6 @@
 import numpy as np
 import pytest
 import torch
-import torch.nn.functional as F
 
 import jax.numpy as jnp
 
@@ -11,37 +10,26 @@ from polgen_rvc_tpu.ops import (
     bigru,
     gru,
     hann_window,
-    interpolate_linear,
-    interpolate_nearest,
     mel_filterbank,
     stft_magnitude,
-    upsample_nearest,
 )
 
 
-def test_upsample_nearest_x2(rng):
-    x = rng.standard_normal((1, 4, 9)).astype(np.float32)
-    ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="nearest")
-    got = upsample_nearest(jnp.asarray(x), 2)
-    np.testing.assert_allclose(np.asarray(got), ref.numpy())
+@pytest.mark.parametrize("size", [5, 13, 40, 161])
+def test_np_interp_linear_matches_torch(rng, size):
+    """The engine's host mirror of F.interpolate(mode='linear',
+    align_corners=False) — used to resize F0/RMS contours on the
+    production path (pipeline/engine.py)."""
+    import torch.nn.functional as F
 
+    from polgen_rvc_tpu.pipeline.engine import _np_interp_linear
 
-@pytest.mark.parametrize("size", [5, 13, 40])
-def test_interpolate_nearest_size(rng, size):
-    x = rng.standard_normal((2, 3, 17)).astype(np.float32)
-    ref = F.interpolate(torch.from_numpy(x), size=size, mode="nearest")
-    got = interpolate_nearest(jnp.asarray(x), size)
-    np.testing.assert_allclose(np.asarray(got), ref.numpy())
-
-
-@pytest.mark.parametrize("size,align", [(50, False), (50, True), (7, False), (161, True)])
-def test_interpolate_linear(rng, size, align):
     x = rng.standard_normal((2, 3, 17)).astype(np.float32)
     ref = F.interpolate(
-        torch.from_numpy(x), size=size, mode="linear", align_corners=align
+        torch.from_numpy(x), size=size, mode="linear", align_corners=False
     )
-    got = interpolate_linear(jnp.asarray(x), size, align_corners=align)
-    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-5)
+    got = _np_interp_linear(x, size)
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-5, atol=1e-5)
 
 
 def test_gru_matches_torch(rng):

@@ -104,6 +104,72 @@ def test_engine_long_convert_uses_chunks_no_recompile(converter):
     assert len(converter._chunk_fns) == n_after
 
 
+def _make_tiny_converter():
+    """Fresh converter identical to the module fixture (tests that mutate
+    graph caches build their own so fixture-based compile-count tests stay
+    deterministic)."""
+    cpt = make_rvc_checkpoint(sr=48000, tiny=True, seed=0)
+    synth_cfg = build_config(cpt["config"], use_f0=True, version="v2")
+    synth_params = convert_synthesizer_state(cpt["weight"], synth_cfg)
+    hub_cfg, hub_sd = make_hubert_state(tiny=True, seed=1)
+    rng = np.random.default_rng(2)
+    synth_params["enc_p"]["emb_phone"]["w"] = (
+        rng.standard_normal((hub_cfg.embed_dim, synth_cfg.hidden_channels)) * 0.1
+    ).astype(np.float32)
+    rmvpe = convert_rmvpe_state(make_rmvpe_state(seed=3))
+    bank = (rng.standard_normal((50, hub_cfg.embed_dim)) * 0.5).astype(np.float32)
+    eng = EngineConfig(
+        x_pad=1, x_query=2, x_center=6, x_max=8, chunk_batch=2, bucket_step_s=2
+    )
+    return VoiceConverter(
+        synth_cfg=synth_cfg,
+        synth_params=synth_params,
+        hubert_cfg=hub_cfg,
+        hubert_params=convert_hubert_state(hub_sd, hub_cfg),
+        rmvpe_params=rmvpe,
+        index_bank=bank,
+        engine=eng,
+    )
+
+
+def test_prewarm_loads_exactly_converts_graphs(converter):
+    """prewarm() must construct the same heavy graphs convert() dispatches
+    (same python fns, same arg avals), so a prewarmed convert triggers ZERO
+    new XLA compilations — the warm-up contract bench.py relies on. Output
+    must be byte-identical to an un-prewarmed converter's."""
+    vc = _make_tiny_converter()
+    audio = _song(20.0, seed=5)
+    opts = ConversionOptions()
+    n = vc.prewarm(audio, opts)
+    assert n >= 2  # f0 graph + >=1 chunk-bucket graph (+ rms/gain graphs)
+    chunk_keys = set(vc._chunk_fns)
+    f0_keys = set(vc._f0_fns)
+    trim_keys = set(vc._trim_fns)  # rms1 + gain graphs (envelope is on)
+    assert any(k[0] == "rms1" for k in trim_keys)
+    assert any(k[0] == "gain" for k in trim_keys)
+    cache_sizes = {
+        k: vc._chunk_fns[k][0]._jitted._cache_size() for k in chunk_keys
+    }
+    trim_sizes = {k: vc._trim_fns[k]._cache_size() for k in trim_keys}
+    out, sr = vc.convert(audio, opts)
+    # no new graph constructions, no new compilations of existing graphs
+    assert set(vc._chunk_fns) == chunk_keys
+    assert set(vc._f0_fns) == f0_keys
+    assert set(vc._trim_fns) == trim_keys
+    for k in chunk_keys:
+        assert vc._chunk_fns[k][0]._jitted._cache_size() == cache_sizes[k], (
+            f"chunk graph {k} recompiled after prewarm (aval mismatch)"
+        )
+    for k in trim_keys:
+        assert vc._trim_fns[k]._cache_size() == trim_sizes[k], (
+            f"trim/gain graph {k} recompiled after prewarm (aval mismatch)"
+        )
+    # prewarm leaves results untouched: equal to the shared fixture's
+    ref, ref_sr = converter.convert(audio, opts)
+    assert sr == ref_sr
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_engine_options_affect_output(converter):
     audio = _song(2.0, seed=7)
     base, _ = converter.convert(audio, ConversionOptions(seed=1))
