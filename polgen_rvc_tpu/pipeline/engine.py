@@ -677,8 +677,11 @@ class VoiceConverter:
         #    so packed output equals serial output exactly.
         progress(0.85, "fetching + finalizing songs")
         hop2 = self.tgt_sr // 2
-        results = []
-        fetched: dict = {}
+        # pass 1 — dispatch every song's gain graph (device) and start
+        # every device->host copy, so the per-song fetches below stream
+        # concurrently instead of serializing compute->copy per song
+        song_fetch: list[tuple] = []
+        pending_raw: dict = {}
         for si, rec in enumerate(songs):
             batch_outputs = bucket_outputs[rec["plan"].bucket_len]
             my = placements[si]
@@ -707,17 +710,38 @@ class VoiceConverter:
                     jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out),
                     jnp.int32(0), jnp.float32(opts.volume_envelope),
                 )
+                self._start_host_copy(seg, am)
+                song_fetch.append(("gain", seg, am, out_lens))
+            else:
+                for bi, _, _ in my:
+                    key = (rec["plan"].bucket_len, bi)
+                    if key not in pending_raw:
+                        seg, absmax = batch_outputs[bi]
+                        self._start_host_copy(seg, absmax)
+                        pending_raw[key] = (seg, absmax)
+                song_fetch.append(
+                    ("raw", rec["plan"].bucket_len, my, out_lens)
+                )
+
+        # pass 2 — fetch (each blocks only on its own in-flight copy) and
+        # finalize on host
+        results = []
+        fetched: dict = {}
+        for entry in song_fetch:
+            if entry[0] == "gain":
+                _, seg, am, out_lens = entry
                 seg_h, am_h = np.asarray(seg), np.asarray(am)
                 rows = [
                     (seg_h[j, :n], am_h[j])
                     for j, n in enumerate(out_lens) if n
                 ]
             else:
+                _, bucket_len, my, out_lens = entry
                 rows = []
                 for (bi, row, v), n in zip(my, out_lens):
-                    key = (rec["plan"].bucket_len, bi)
+                    key = (bucket_len, bi)
                     if key not in fetched:
-                        seg, absmax = batch_outputs[bi]
+                        seg, absmax = pending_raw[key]
                         fetched[key] = (np.asarray(seg), np.asarray(absmax))
                     seg_h, am_h = fetched[key]
                     if n:
@@ -891,6 +915,18 @@ class VoiceConverter:
             "gain_radius": gain_radius,
             "emit_lens": emit_lens,
         }
+
+    @staticmethod
+    def _start_host_copy(*arrays):
+        """Start device->host transfers without blocking: the relay then
+        streams every pending output concurrently and each later
+        np.asarray blocks only on its own, already-in-flight copy (no-op
+        on backends without the hint)."""
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
 
     def _rows_to_audio(self, fetched_rows):
         """[(seg int16 (n,), absmax)] -> concatenated float32 audio."""
@@ -1398,6 +1434,11 @@ class VoiceConverter:
             ]
 
         progress(0.92, "fetching + finalizing")
+        # the LAST batch's ~5 MB was the one transfer nothing overlapped
+        # (no compute follows it): starting every copy up front hides it
+        # behind the earlier batches' host-side row assembly
+        for seg, absmax, _ in packed:
+            self._start_host_copy(seg, absmax)
         rows = []
         for seg, absmax, valid_frames in packed:
             seg_h = np.asarray(seg)
