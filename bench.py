@@ -25,12 +25,20 @@ import time
 
 import numpy as np
 
-_STATE = {"wall": float("inf"), "runs": 0, "seconds": 0.0, "on_tpu": False}
+_STATE = {"wall": float("inf"), "runs": 0, "seconds": 0.0, "on_tpu": False,
+          "emitted": False}
 
 
 def _emit(exit_code=None):
-    """Print the best-so-far JSON line (if any timed convert completed)."""
+    """Print the best-so-far JSON line (if any timed convert completed).
+    The emitted flag keeps a signal racing the normal end-of-main emit
+    from printing the line twice (stdout must carry exactly one)."""
+    if _STATE["emitted"]:
+        if exit_code is not None:
+            os._exit(0)
+        return
     if _STATE["runs"] > 0 and np.isfinite(_STATE["wall"]):
+        _STATE["emitted"] = True
         rtf = _STATE["seconds"] / _STATE["wall"]
         print(json.dumps({
             "metric": "rtf_48k_3min_1chip" if _STATE["on_tpu"] else "rtf_cpu_smoke",

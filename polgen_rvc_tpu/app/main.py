@@ -60,8 +60,18 @@ def main(argv=None):
         if share_relay:
             from .share_tunnel import start_share_client
 
-            start_share_client(share_relay, bound_port, secret=share_secret)
-            print(f"[+] sharing through relay {share_relay}")
+            # share failure degrades to local-only serving: letting the
+            # OSError escape would hit main's bind-retry loop, which would
+            # misread a relay problem as a port conflict and walk down
+            # ports leaking bound-but-unserved sockets
+            try:
+                start_share_client(
+                    share_relay, bound_port, secret=share_secret
+                )
+                print(f"[+] sharing through relay {share_relay}")
+            except OSError as e:
+                print(f"[!] share relay unavailable ({e}); "
+                      "serving locally only")
 
     for _ in range(MAX_PORT_ATTEMPTS):
         try:

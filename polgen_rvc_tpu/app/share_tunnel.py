@@ -45,8 +45,25 @@ _MAGIC = b"POLGEN-SHARE-1 "
 _HANDSHAKE_MAX = 256
 
 
-def _send_handshake(sock: socket.socket, secret: str) -> None:
+def _send_handshake(sock: socket.socket, secret: str,
+                    timeout: float = 10.0) -> None:
+    """Present the secret and wait for the relay's OK ack — without the
+    ack a rejected client would see a live-looking socket and report
+    success while the relay silently dropped it."""
     sock.sendall(_MAGIC + secret.encode() + b"\n")
+    sock.settimeout(timeout)
+    try:
+        if _recv_exact(sock, 3) != b"OK\n":
+            raise ConnectionError("relay rejected the share handshake")
+    except ConnectionError:
+        raise ConnectionError(
+            "relay rejected the share handshake (bad --share secret?)"
+        ) from None
+    finally:
+        try:
+            sock.settimeout(None)
+        except OSError:
+            pass
 
 
 def _check_handshake(sock: socket.socket, secret: str,
@@ -140,7 +157,9 @@ class _Streams:
 
 def _demux_loop(tunnel: socket.socket, streams: _Streams, on_open=None,
                 lock: threading.Lock = None) -> None:
-    """Read frames off the tunnel and route them to per-stream sockets."""
+    """Read frames off the tunnel and route them to per-stream sockets.
+    Returns when the tunnel dies; the CALLER decides what to tear down —
+    a superseded relay tunnel must NOT close the replacement's streams."""
     try:
         while True:
             sid, kind, length = _HDR.unpack(_recv_exact(tunnel, _HDR.size))
@@ -162,7 +181,7 @@ def _demux_loop(tunnel: socket.socket, streams: _Streams, on_open=None,
                     except OSError:
                         pass
     except (ConnectionError, OSError):
-        streams.close_all()
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -192,9 +211,11 @@ def start_share_client(relay: str, local_port: int,
             daemon=True,
         ).start()
 
-    t = threading.Thread(
-        target=_demux_loop, args=(tunnel, streams, on_open, lock), daemon=True
-    )
+    def demux():
+        _demux_loop(tunnel, streams, on_open, lock)
+        streams.close_all()  # our tunnel died: all its streams are dead
+
+    t = threading.Thread(target=demux, daemon=True)
     t.start()
     return t
 
@@ -225,10 +246,54 @@ def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
     tunnel_box: dict = {"sock": None}
 
     def drop_tunnel(sock) -> None:
+        """Deactivate `sock` if it is still the live tunnel; only then tear
+        down streams — a stale superseded tunnel dying must not close the
+        replacement's browser connections."""
         with lock:
-            if tunnel_box["sock"] is sock:
+            mine = tunnel_box["sock"] is sock
+            if mine:
                 tunnel_box["sock"] = None
+        if mine:
+            streams.close_all()
+        try:
+            sock.close()
+        except OSError:
+            pass
+
+    def attach(cand) -> None:
+        """Handshake + supersede + demux for one tunnel candidate. Runs in
+        its own thread so an unauthenticated probe holding the 5 s
+        handshake timeout cannot starve a legitimate (re)connection."""
+        if not _check_handshake(cand, secret):
+            try:
+                cand.close()
+            except OSError:
+                pass
+            return
+        try:
+            cand.sendall(b"OK\n")
+        except OSError:
+            try:
+                cand.close()
+            except OSError:
+                pass
+            return
+        # supersede: the old tunnel and its streams are dead either way.
+        # Deactivate + drain BEFORE installing cand so no close races the
+        # replacement's fresh streams.
+        with lock:
+            old = tunnel_box["sock"]
+            tunnel_box["sock"] = None
         streams.close_all()
+        if old is not None:
+            try:
+                old.close()
+            except OSError:
+                pass
+        with lock:
+            tunnel_box["sock"] = cand
+        _demux_loop(cand, streams, None, lock)
+        drop_tunnel(cand)
 
     def wait_tunnel():
         while stop_event is None or not stop_event.is_set():
@@ -238,23 +303,7 @@ def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
                 continue
             except OSError:
                 return
-            if not _check_handshake(cand, secret):
-                try:
-                    cand.close()
-                except OSError:
-                    pass
-                continue
-            # a replacement tunnel supersedes the old one; its streams are
-            # dead either way
-            streams.close_all()
-            with lock:
-                tunnel_box["sock"] = cand
-
-            def demux(sock=cand):
-                _demux_loop(sock, streams, None, lock)
-                drop_tunnel(sock)
-
-            threading.Thread(target=demux, daemon=True).start()
+            threading.Thread(target=attach, args=(cand,), daemon=True).start()
 
     threading.Thread(target=wait_tunnel, daemon=True).start()
     try:

@@ -285,8 +285,13 @@ def serve(port: int = 7860, host: str = "127.0.0.1", on_bound=None):
     `on_bound(port)` fires after the socket bound successfully but before
     serving — the share client dials out from there, so a failed bind
     never advertises a dead port through the relay."""
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"PolGen-RVC-TPU UI on http://{host}:{port}")
-    if on_bound is not None:
-        on_bound(port)
-    httpd.serve_forever()
+    httpd = ThreadingHTTPServer((host, port), Handler)  # OSError = bind fail
+    try:
+        print(f"PolGen-RVC-TPU UI on http://{host}:{port}")
+        if on_bound is not None:
+            on_bound(port)
+        httpd.serve_forever()
+    finally:
+        # an on_bound exception must not leak a bound-but-unserved socket
+        # (clients would hang in its accept backlog)
+        httpd.server_close()

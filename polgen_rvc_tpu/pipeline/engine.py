@@ -968,24 +968,15 @@ class VoiceConverter:
     # full pipeline
     # ------------------------------------------------------------------
 
-    def prewarm(self, audio16k: np.ndarray,
-                opts: ConversionOptions = ConversionOptions(),
-                max_workers: int = 8) -> int:
-        """Compile/load every heavyweight graph a convert() of this signal
-        will dispatch — CONCURRENTLY. Returns the number of graphs warmed.
-
-        In a remote-PJRT deployment (device behind a network relay, as
-        here), loading one cached chunk-graph executable takes ~90 s —
-        per graph, even on persistent-cache hits — so the first convert()
-        of a song pays ~5 back-to-back loads. Those loads are
-        relay/deserialize-bound, not device-bound, so a thread pool
-        overlaps them. Host-side only: graphs, shapes, and cache keys are
-        exactly convert()'s (argument construction goes through the same
-        _assemble_rows/_put helpers; tests/test_pipeline.py asserts a
-        prewarmed convert() triggers zero new compilations).
-        """
+    def _upload_preamble(self, audio16k):
+        """High-pass + reflect pad + int16 quantize + async device upload
+        of the whole signal (ONE C++ pass when the native toolchain
+        exists, bit-identical to the python steps), then quiet-point chunk
+        planning while the transfer streams. Single source for
+        convert()/prewarm(): every graph's shapes and cache keys derive
+        from this geometry, so a divergence between the two would compile
+        an unwarmed graph at serving time."""
         eng = self.engine
-        use_f0 = self.synth_cfg.use_f0
         from ..ops.filters import highpass_filtfilt_pad_quant
 
         n_in = int(np.asarray(audio16k).shape[0])
@@ -1011,8 +1002,69 @@ class VoiceConverter:
             from ..parallel.mesh import replicate
 
             audio_buf = replicate(audio_buf, self.mesh)
+        plan = plan_chunks(audio, eng)  # padded_audio == padded bitwise
+        return audio, uploaded, audio_buf, plan
 
-        plan = plan_chunks(audio, eng)
+    def _batch_geometry(self, plan):
+        """Per-BATCH buckets: each batch of chunk_batch consecutive chunks
+        compiles at the smallest bucket-grid size that fits its own chunks,
+        not the song's longest chunk — quiet-point cuts drift +-t_query, so
+        chunk lengths vary ~2x and song-max padding wastes 25-45% of chunk
+        compute. Graph count stays bounded by the bucket grid. Shared by
+        convert() and prewarm() (same cache keys by construction)."""
+        eng = self.engine
+        n_chunks = len(plan.chunks)
+        B = eng.chunk_batch
+        step_bucket = eng.bucket_step_s * eng.sample_rate
+        batch_idxs = [
+            list(range(g0, min(g0 + B, n_chunks)))
+            for g0 in range(0, n_chunks, B)
+        ]
+        batch_bucket = [
+            max(
+                int(np.ceil(
+                    (plan.chunks[ci].slice_end - plan.chunks[ci].slice_start)
+                    / step_bucket
+                )) * step_bucket
+                for ci in idxs
+            )
+            for idxs in batch_idxs
+        ]
+        return batch_idxs, batch_bucket
+
+    def _chunk_out_lengths(self, plan):
+        """(valid frame count, trimmed output samples) per chunk — bucket-
+        independent (any admitted bucket >= the chunk length)."""
+        eng = self.engine
+        upp = self.synth_cfg.upp
+        t_pad_tgt = self.tgt_sr * eng.x_pad
+        chunk_v = []
+        for c in plan.chunks:
+            slice_len = c.slice_end - c.slice_start
+            chunk_v.append(min(slice_len // eng.window,
+                               2 * self.hubert_cfg.num_frames(slice_len)))
+        chunk_outn = [max(v * upp - 2 * t_pad_tgt, 0) for v in chunk_v]
+        return chunk_v, chunk_outn
+
+    def prewarm(self, audio16k: np.ndarray,
+                opts: ConversionOptions = ConversionOptions(),
+                max_workers: int = 8) -> int:
+        """Compile/load every heavyweight graph a convert() of this signal
+        will dispatch — CONCURRENTLY. Returns the number of graphs warmed.
+
+        In a remote-PJRT deployment (device behind a network relay, as
+        here), loading one cached chunk-graph executable takes ~90 s —
+        per graph, even on persistent-cache hits — so the first convert()
+        of a song pays ~5 back-to-back loads. Those loads are
+        relay/deserialize-bound, not device-bound, so a thread pool
+        overlaps them. Host-side only: graphs, shapes, and cache keys are
+        exactly convert()'s (argument construction goes through the same
+        _assemble_rows/_put helpers; tests/test_pipeline.py asserts a
+        prewarmed convert() triggers zero new compilations).
+        """
+        eng = self.engine
+        use_f0 = self.synth_cfg.use_f0
+        audio, uploaded, audio_buf, plan = self._upload_preamble(audio16k)
         p_len_full = plan.padded_audio.shape[0] // eng.window
         rate_on = opts.volume_envelope != 1.0
         use_index = self.index_bank is not None and opts.index_rate > 0
@@ -1057,23 +1109,8 @@ class VoiceConverter:
         if use_f0 and not devf0_wanted:
             host_f0 = self.compute_f0(plan.padded_audio, p_len_full, opts)
 
-        n_chunks = len(plan.chunks)
         B = eng.chunk_batch
-        step_bucket = eng.bucket_step_s * eng.sample_rate
-        batch_idxs = [
-            list(range(g0, min(g0 + B, n_chunks)))
-            for g0 in range(0, n_chunks, B)
-        ]
-        batch_bucket = [
-            max(
-                int(np.ceil(
-                    (plan.chunks[ci].slice_end - plan.chunks[ci].slice_start)
-                    / step_bucket
-                )) * step_bucket
-                for ci in idxs
-            )
-            for idxs in batch_idxs
-        ]
+        batch_idxs, batch_bucket = self._batch_geometry(plan)
         seen = set()
         for idxs, bucket in zip(batch_idxs, batch_bucket):
             if bucket in seen:
@@ -1113,15 +1150,7 @@ class VoiceConverter:
             # the RMS1 + per-bucket gain graphs load from the pool too
             # (same _gain_rows_fn keys as convert(): _gain_layout is the
             # single source of the emit geometry)
-            window = eng.window
-            upp = self.synth_cfg.upp
-            t_pad_tgt = self.tgt_sr * eng.x_pad
-            chunk_outn = []
-            for c in plan.chunks:
-                slice_len = c.slice_end - c.slice_start
-                v = min(slice_len // window,
-                        2 * self.hubert_cfg.num_frames(slice_len))
-                chunk_outn.append(max(v * upp - 2 * t_pad_tgt, 0))
+            _, chunk_outn = self._chunk_out_lengths(plan)
             lay = self._gain_layout(
                 plan, batch_idxs, batch_bucket, chunk_outn,
                 audio.shape[0], int(audio_buf.shape[1]),
@@ -1191,43 +1220,11 @@ class VoiceConverter:
         # RMS1-envelope graph, AND the chunk graphs (which slice their
         # windows from it in-graph). Dispatched BEFORE chunk planning:
         # device_put is async, so the ~6 MB relay transfer streams while
-        # the quiet-point search runs on host. The high-pass, reflect pad,
-        # and int16 quantization run as ONE C++ pass when the native
-        # toolchain exists (bit-identical to the python steps).
-        from ..ops.filters import highpass_filtfilt_pad_quant
-
-        n_in = int(np.asarray(audio16k).shape[0])
-        padded_len = n_in + 2 * eng.t_pad
-        step_q = _F0_FRAME_BUCKET * 160
-        bucket_q = max(int(np.ceil(padded_len / step_q)), 1) * step_q
-        fused = highpass_filtfilt_pad_quant(
-            np.asarray(audio16k, np.float64), eng.t_pad, bucket_q
-        )
-        if fused is not None:
-            audio, qbuf, inv_scale = fused
-            uploaded = (jnp.asarray(qbuf)[None], inv_scale, padded_len)
-        else:
-            audio = highpass_filtfilt(
-                np.asarray(audio16k, np.float64)
-            ).astype(np.float32)
-            padded = np.pad(
-                audio, (eng.t_pad, eng.t_pad), mode="reflect"
-            ).astype(np.float32)
-            uploaded = self._upload_audio(padded)
-        audio_buf = uploaded[0]
-
-        plan = plan_chunks(audio, eng)  # padded_audio == `padded` bitwise
+        # the quiet-point search runs on host.
+        audio, uploaded, audio_buf, plan = self._upload_preamble(audio16k)
         p_len_full = plan.padded_audio.shape[0] // eng.window
 
         rate_on = opts.volume_envelope != 1.0
-        devf0_wanted = (
-            use_f0 and opts.f0_method in ("rmvpe+", "rmvpe")
-            and not opts.f0_file and self.rmvpe_params is not None
-        )
-        if self.mesh is not None:
-            from ..parallel.mesh import replicate
-
-            audio_buf = replicate(audio_buf, self.mesh)
 
         pitch_full = pitchf_full = None
         pitch_dev = pitchf_dev = None
@@ -1265,37 +1262,11 @@ class VoiceConverter:
         n_chunks = len(plan.chunks)
         B = eng.chunk_batch
         n_batches = -(-n_chunks // B)
-
-        # per-BATCH buckets: each batch of consecutive chunks compiles at
-        # the smallest bucket that fits its own chunks, not the song's
-        # longest chunk — quiet-point cuts drift +-t_query, so chunk
-        # lengths vary ~2x and song-max padding wastes ~25-45% of chunk
-        # compute. Graph count stays bounded by the 4 s bucket grid.
-        step_bucket = eng.bucket_step_s * eng.sample_rate
-        batch_idxs = [
-            list(range(g0, min(g0 + B, n_chunks)))
-            for g0 in range(0, n_chunks, B)
-        ]
-        batch_bucket = [
-            max(
-                int(np.ceil(
-                    (plan.chunks[ci].slice_end - plan.chunks[ci].slice_start)
-                    / step_bucket
-                )) * step_bucket
-                for ci in idxs
-            )
-            for idxs in batch_idxs
-        ]
+        batch_idxs, batch_bucket = self._batch_geometry(plan)
 
         # every chunk's valid length and global output offset is known
         # up front — the RMS gain graphs need them before any fetch.
-        # v is bucket-independent: any admitted bucket >= the chunk length.
-        chunk_v = []
-        for c in plan.chunks:
-            slice_len = c.slice_end - c.slice_start
-            chunk_v.append(min(slice_len // window,
-                               2 * self.hubert_cfg.num_frames(slice_len)))
-        chunk_outn = [max(v * upp - 2 * t_pad_tgt, 0) for v in chunk_v]
+        chunk_v, chunk_outn = self._chunk_out_lengths(plan)
         chunk_off = np.concatenate([[0], np.cumsum(chunk_outn)])[:-1].astype(
             np.int64
         )

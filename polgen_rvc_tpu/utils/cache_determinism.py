@@ -21,9 +21,14 @@ graphs hit the cache across the same runs.
 
 Fix: run MLIR's ``strip-debuginfo`` pass on the Mosaic module right before
 ``mosaic-serde`` serializes it. Locations only feed compiler diagnostics;
-the emitted TPU code is identical. Applied automatically on package import
-(see ``polgen_rvc_tpu/__init__.py``); safe no-op on CPU-only environments
-and on jax versions with a different internal layout.
+the emitted TPU code is identical. Applied by
+``polgen_rvc_tpu.enable_compilation_cache()`` (which every
+``VoiceConverter`` calls on construction — the package import itself stays
+jax-free). If you enable JAX's persistent cache yourself (e.g.
+``JAX_COMPILATION_CACHE_DIR``) and build Pallas graphs without a
+converter, call ``ensure_deterministic_pallas_cache_keys()`` first. Safe
+no-op on CPU-only environments and on jax versions with a different
+internal layout.
 """
 
 from __future__ import annotations

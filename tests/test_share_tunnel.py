@@ -13,6 +13,8 @@ import socket
 import threading
 import time
 
+import pytest
+
 from polgen_rvc_tpu.app.share_tunnel import run_relay, start_share_client
 
 
@@ -137,10 +139,12 @@ def test_share_tunnel_secret_and_reconnect():
             conn.close()
 
     try:
-        # 1) wrong secret: tunnel is dropped, public port refuses service
-        #    (connection closed with no app attached)
-        start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
-                           secret="wrong")
+        # 1) wrong secret: the missing relay OK ack surfaces as an error at
+        #    the CLIENT (round-3 hardening — a rejected app must not report
+        #    success), and the public port refuses service (no app attached)
+        with pytest.raises(OSError):
+            start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
+                               secret="wrong")
         time.sleep(0.4)
         try:
             status, _ = get("/")
@@ -168,6 +172,39 @@ def test_share_tunnel_secret_and_reconnect():
                            secret="hunter2")
         time.sleep(0.4)
         assert get("/again") == (200, b"polgen:/again")
+
+        # 4) a STALE superseded tunnel dying must not sever the live
+        #    replacement's browser connections (round-3 fix: drop_tunnel/
+        #    demux teardown is scoped to the active tunnel). `stale` is
+        #    superseded by the replacement below while its socket stays
+        #    open; a keep-alive browser connection through the replacement
+        #    must survive the stale socket's eventual death.
+        stale = socket.create_connection(("127.0.0.1", tunnel_port))
+        _send_handshake(stale, "hunter2")
+        time.sleep(0.4)
+        start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
+                           secret="hunter2")
+        time.sleep(0.4)
+        raw = socket.create_connection(("127.0.0.1", public_port))
+        try:
+            raw.sendall(b"GET /b HTTP/1.0\r\n")  # incomplete: stream open
+            time.sleep(0.3)
+            stale.close()  # the superseded tunnel finally dies
+            time.sleep(0.4)
+            raw.sendall(b"\r\n")  # complete the request on the SAME stream
+            raw.settimeout(5)
+            resp = b""
+            try:
+                while True:
+                    part = raw.recv(4096)
+                    if not part:
+                        break
+                    resp += part
+            except socket.timeout:
+                pass
+            assert b"polgen:/b" in resp, resp
+        finally:
+            raw.close()
     finally:
         stop.set()
         ui.shutdown()
