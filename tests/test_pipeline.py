@@ -170,6 +170,31 @@ def test_prewarm_loads_exactly_converts_graphs(converter):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_prewarm_zero_recompile_rate_off():
+    """Same zero-recompile contract on the emit='int16' path
+    (volume_envelope=1.0: no RMS/gain graphs) with retrieval and protect
+    off — a different chunk-graph key family than the default config."""
+    vc = _make_tiny_converter()
+    audio = _song(20.0, seed=6)
+    opts = ConversionOptions(
+        volume_envelope=1.0, index_rate=0.0, protect=0.5
+    )
+    vc.prewarm(audio, opts)
+    chunk_keys = set(vc._chunk_fns)
+    trim_keys = set(vc._trim_fns)
+    assert not any(k[0] == "gain" for k in trim_keys)
+    cache_sizes = {
+        k: vc._chunk_fns[k][0]._jitted._cache_size() for k in chunk_keys
+    }
+    vc.convert(audio, opts)
+    assert set(vc._chunk_fns) == chunk_keys
+    assert set(vc._trim_fns) == trim_keys
+    for k in chunk_keys:
+        assert vc._chunk_fns[k][0]._jitted._cache_size() == cache_sizes[k], (
+            f"chunk graph {k} recompiled after prewarm (aval mismatch)"
+        )
+
+
 def test_engine_options_affect_output(converter):
     audio = _song(2.0, seed=7)
     base, _ = converter.convert(audio, ConversionOptions(seed=1))
