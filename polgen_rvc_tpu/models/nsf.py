@@ -41,6 +41,7 @@ def sine_source(
     noise_std: float = 0.003,
     voiced_threshold: float = 0.0,
     rng: Optional[jax.Array] = None,
+    noise_samples: Optional[int] = None,
 ):
     """F0 frames -> audio-rate sine + gated noise (SineGen, harmonic_num=0).
 
@@ -48,6 +49,11 @@ def sine_source(
     With harmonic_num=0 the reference zeroes its random initial phase
     (generators.py:127-129), so the sine itself is deterministic; only the
     additive noise consumes randomness.
+
+    noise_samples: when set (>= T*upp), noise draws at this FIXED length
+    and slices to T*upp — the drawn sequence then does not depend on the
+    graph's padded length, so a chunk renders bit-identically whatever
+    bucket its batch compiled at (bucket-invariant rendering).
     """
     f0 = f0.astype(jnp.float32)
     rad_f = jnp.mod(f0 / sample_rate, 1.0)  # cycles per input sample, (B, T)
@@ -67,21 +73,27 @@ def sine_source(
     uv = (f0 > voiced_threshold).astype(jnp.float32)
     uv = jnp.repeat(uv, upp, axis=-1)
     noise_amp = uv * noise_std + (1.0 - uv) * (sine_amp / 3.0)
+    n_out = sine.shape[-1]
+    n_draw = n_out if noise_samples is None else noise_samples
     if rng is not None and rng.ndim == 2:
         # per-row keys: packing-invariant noise (see synthesizer_infer)
         noise = noise_amp * jax.vmap(
-            lambda k: jax.random.normal(k, sine.shape[1:], jnp.float32)
+            lambda k: jax.random.normal(k, (n_draw,), jnp.float32)[:n_out]
         )(rng)
     elif rng is not None:
-        noise = noise_amp * jax.random.normal(rng, sine.shape, jnp.float32)
+        noise = noise_amp * jax.random.normal(
+            rng, sine.shape[:-1] + (n_draw,), jnp.float32
+        )[..., :n_out]
     else:
         noise = jnp.zeros_like(sine)
     return sine * uv + noise
 
 
-def source_module(params, f0, upp: int, sample_rate: int, rng=None, dtype=jnp.float32):
+def source_module(params, f0, upp: int, sample_rate: int, rng=None, dtype=jnp.float32,
+                  noise_samples=None):
     """SourceModuleHnNSF: sine -> tanh(linear) merge (nsf.py:14-40)."""
-    sine = sine_source(f0, upp, sample_rate, rng=rng)  # (B, T*upp)
+    sine = sine_source(f0, upp, sample_rate, rng=rng,
+                       noise_samples=noise_samples)  # (B, T*upp)
     w = params["l_linear"]["w"].astype(dtype)  # (1, 1)
     b = params["l_linear"]["b"].astype(dtype)
     return jnp.tanh(sine.astype(dtype) * w[0, 0] + b[0])  # (B, T*upp)
@@ -122,7 +134,7 @@ def _resblock_dilations(cfg: SynthesizerConfig):
 
 
 def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, noise_frames=None):
     """GeneratorNSF (nsf.py:43-144): conv_pre -> per-stage [lrelu ->
     transposed-conv upsample -> + noise_conv(source)] -> mean(resblocks)
     -> lrelu -> conv_post -> tanh.
@@ -131,7 +143,10 @@ def generator_nsf(params, cfg: SynthesizerConfig, x, f0, g=None, *, rng=None,
     """
     dtype = x.dtype
     upp = cfg.upp
-    har = source_module(params["m_source"], f0, upp, cfg.sr, rng=rng, dtype=dtype)
+    har = source_module(
+        params["m_source"], f0, upp, cfg.sr, rng=rng, dtype=dtype,
+        noise_samples=None if noise_frames is None else noise_frames * upp,
+    )
     har = har[:, None, :]  # (B, 1, T*upp)
 
     x = conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)

@@ -332,6 +332,7 @@ def synthesizer_infer(
     noise_scale: float = 0.66666,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    noise_frames: Optional[int] = None,
 ):
     """Full generator inference (synthesizers.py:162-188).
 
@@ -342,6 +343,11 @@ def synthesizer_infer(
     sid:    (B,) int speaker ids
     rng:    PRNG key for the latent + NSF noise; None -> deterministic
             (noise-free debug mode for activation parity)
+    noise_frames: when set (>= T), every noise draw happens at this FIXED
+            frame length and slices to T, so the drawn sequence does not
+            depend on the graph's padded length — a chunk renders
+            bit-identically whatever bucket its batch compiled at. The
+            engine passes its config-level max bucket here.
     Returns (B, T * upp) waveform at cfg.sr.
     """
     from .nsf import generator_nsf, generator  # local import to avoid cycle
@@ -364,18 +370,26 @@ def synthesizer_infer(
     # rest of the graph in bf16 lands at ~0.1 dB (see tests/test_quality.py)
     m_p32 = m_p.astype(jnp.float32)
     logs_p32 = logs_p.astype(jnp.float32)
+    T = m_p.shape[-1]
+    nf = T if noise_frames is None else noise_frames
     if rng is not None and rng.ndim == 2:
         # per-row keys (B, 2): noise depends only on each row's own key, so
         # a chunk renders identically no matter which batch slot it rides in
-        # (packing-invariant batch cover generation)
+        # (packing-invariant batch cover generation). The draw happens at
+        # the fixed noise_frames length and slices to T, so it is also
+        # bucket-invariant (see docstring).
         ks = jax.vmap(jax.random.split)(rng)  # (B, 2, 2)
         k_lat, k_nsf = ks[:, 0], ks[:, 1]
         eps = jax.vmap(
-            lambda k: jax.random.normal(k, m_p.shape[1:], jnp.float32)
+            lambda k: jax.random.normal(
+                k, m_p.shape[1:-1] + (nf,), jnp.float32
+            )[..., :T]
         )(k_lat)
     elif rng is not None:
         k_lat, k_nsf = jax.random.split(rng)
-        eps = jax.random.normal(k_lat, m_p.shape, jnp.float32)
+        eps = jax.random.normal(
+            k_lat, m_p.shape[:-1] + (nf,), jnp.float32
+        )[..., :T]
     else:
         k_nsf = None
         eps = jnp.zeros_like(m_p32)
@@ -386,7 +400,8 @@ def synthesizer_infer(
 
     if cfg.use_f0:
         audio = generator_nsf(
-            params["dec"], cfg, z, nsff0, g, rng=k_nsf, use_pallas=use_pallas
+            params["dec"], cfg, z, nsff0, g, rng=k_nsf, use_pallas=use_pallas,
+            noise_frames=noise_frames,
         )
     else:
         audio = generator(params["dec"], cfg, z, g)

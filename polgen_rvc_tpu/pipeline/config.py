@@ -78,3 +78,17 @@ class EngineConfig:
         return (
             self.t_center + 2 * self.t_query + 2 * self.t_pad + self.window
         )
+
+    @property
+    def max_bucket_len(self) -> int:
+        """Largest bucket ANY chunk of ANY song can require under this
+        config: the wider of the no-cut whole-signal case (audio fits
+        t_max) and the widest interior chunk, rounded up to the bucket
+        grid. Static per config — the fixed noise-draw shape that makes
+        rendering bucket-invariant derives from it (models draw noise at
+        this length and slice, so a chunk renders bit-identically whatever
+        bucket its batch compiles at)."""
+        longest = max(self.t_max - self.window + 2 * self.t_pad,
+                      self.max_chunk_samples)
+        step = self.bucket_step_s * self.sample_rate
+        return -(-longest // step) * step

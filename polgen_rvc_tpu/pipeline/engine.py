@@ -29,7 +29,7 @@ from ..ops.f0_utils import coarse_f0, salience_to_f0
 from ..ops.filters import highpass_filtfilt
 from ..retrieval.topk import retrieval_blend
 from ..utils.progress import NULL_PROGRESS, ProgressReporter
-from .chunking import gather_chunk_batch, plan_chunks
+from .chunking import plan_chunks
 from .config import ConversionOptions, EngineConfig
 
 _F0_FRAME_BUCKET = 1024  # RMVPE salience compiles per multiple of this
@@ -197,6 +197,14 @@ class VoiceConverter:
             "samp_lens": samp_lens, "hub_valid": hub_valid, "ids": ids_b,
             "valid_frames": valid_frames,
         }
+
+    def _noise_frames(self) -> int:
+        """Fixed noise-draw frame count: the p_len of the config-level max
+        bucket. Every chunk graph draws at this length and slices, so the
+        noise a chunk sees never depends on its batch's bucket."""
+        mb = self.engine.max_bucket_len
+        return min(mb // self.engine.window,
+                   2 * self.hubert_cfg.num_frames(mb))
 
     def _crepe_fn(self, bucket: int):
         if bucket not in self._crepe_fns:
@@ -390,8 +398,17 @@ class VoiceConverter:
         if key in self._chunk_fns:
             return self._chunk_fns[key]
 
+        assert bucket_len <= self.engine.max_bucket_len, (
+            f"bucket {bucket_len} exceeds the config bound "
+            f"{self.engine.max_bucket_len} (noise-draw shape would clip)"
+        )
         hub_frames = self.hubert_cfg.num_frames(bucket_len)
         p_len = min(bucket_len // self.engine.window, 2 * hub_frames)
+        # every graph draws noise at the CONFIG-level max frame count and
+        # slices to its own p_len: the sequence a chunk sees is independent
+        # of the bucket its batch compiled at, so per-batch (convert) and
+        # per-class (convert_batch) bucketing render bit-identically
+        noise_frames = self._noise_frames()
         v1 = self.version == "v1"
         noise_scale = self.engine.noise_scale
         cdt = self.compute_dtype
@@ -476,6 +493,7 @@ class VoiceConverter:
                 pitchf if use_f0 else None,
                 sid=sid, rng=row_keys, noise_scale=noise_scale,
                 compute_dtype=cdt, use_pallas=use_pallas,
+                noise_frames=noise_frames,
             )
             audio = audio.astype(jnp.float32)
             if emit == "raw":
@@ -598,14 +616,20 @@ class VoiceConverter:
                 rec["pitch"] = np.asarray(rec["pitch_d"][0, :p])
                 rec["pitchf"] = np.asarray(rec["pitchf_d"][0, :p])
 
-        # 3) global work list grouped by bucket (chunks of different songs
-        #    with the same padded length share batches)
+        # 3) global work list grouped by each CHUNK's own bucket class
+        #    (the smallest bucket-grid size that fits it) — not the song's
+        #    max bucket: quiet-point cuts drift +-t_query, so chunk lengths
+        #    vary ~2x within a song and song-max padding wastes 25-45% of
+        #    chunk compute. Bit-equality with serial convert() survives any
+        #    bucketing because the noise draws are fixed-shape
+        #    (bucket-invariant) and the masked models are pad-invariant.
+        step_bucket = eng.bucket_step_s * eng.sample_rate
         work_by_bucket: dict = {}
         for si, rec in enumerate(songs):
-            for ci in range(len(rec["plan"].chunks)):
-                work_by_bucket.setdefault(rec["plan"].bucket_len, []).append(
-                    (si, ci)
-                )
+            for ci, c in enumerate(rec["plan"].chunks):
+                cls = -(-(c.slice_end - c.slice_start) // step_bucket) \
+                    * step_bucket
+                work_by_bucket.setdefault(cls, []).append((si, ci))
 
         use_index = self.index_bank is not None and opts.index_rate > 0
         use_protect = use_f0 and opts.protect < 0.5
@@ -613,9 +637,9 @@ class VoiceConverter:
         t_pad_tgt = self.tgt_sr * eng.x_pad
         rng = jax.random.PRNGKey(opts.seed)
 
-        # song -> list of (bucket-local batch index, row, valid) in chunk
-        # order; batches of different buckets have different row lengths, so
-        # each song finalizes over its own bucket's batch list only
+        # song -> list of (chunk id, bucket, bucket-local batch index, row,
+        # valid); a song's chunks may ride batches of DIFFERENT buckets, so
+        # every placement carries its bucket and finalize sorts by chunk id
         placements: list[list] = [[] for _ in songs]
         bucket_outputs: dict = {}
         total_work = sum(len(v) for v in work_by_bucket.values())
@@ -631,9 +655,11 @@ class VoiceConverter:
                 group = work[g0 : g0 + eng.chunk_batch]
                 wav = np.zeros((eng.chunk_batch, bucket_len), np.float32)
                 for row, (si, ci) in enumerate(group):
-                    rec = songs[si]
-                    row_wav, _ = gather_chunk_batch(rec["plan"], [ci], eng)
-                    wav[row] = row_wav[0]
+                    c = songs[si]["plan"].chunks[ci]
+                    seg = songs[si]["plan"].padded_audio[
+                        c.slice_start : c.slice_end
+                    ]
+                    wav[row, : seg.shape[0]] = seg
                 # per-row noise keys fold in the SONG-LOCAL chunk index, so a
                 # packed row renders bit-identically to its serial conversion
                 rowset = self._assemble_rows(
@@ -647,7 +673,8 @@ class VoiceConverter:
                 )
                 for row, (si, ci) in enumerate(group):
                     placements[si].append(
-                        (len(batch_outputs), row, rowset["valid_frames"][row])
+                        (ci, bucket_len, len(batch_outputs), row,
+                         rowset["valid_frames"][row])
                     )
                 done_work += len(group)
                 progress(0.2 + 0.55 * done_work / max(total_work, 1),
@@ -683,16 +710,30 @@ class VoiceConverter:
         song_fetch: list[tuple] = []
         pending_raw: dict = {}
         for si, rec in enumerate(songs):
-            batch_outputs = bucket_outputs[rec["plan"].bucket_len]
-            my = placements[si]
-            out_lens = [max(v * upp - 2 * t_pad_tgt, 0) for _, _, v in my]
+            # ascending chunk id == ascending global output order (the gain
+            # graph's sequential knot sums require it for bit-equality)
+            my = sorted(placements[si])
+            out_lens = [
+                max(v * upp - 2 * t_pad_tgt, 0) for _, _, _, _, v in my
+            ]
             n_out = int(sum(out_lens))
             offsets = np.concatenate(
                 [[0], np.cumsum(out_lens)]
             )[:-1].astype(np.int64)
             if rate_on and my:
-                out_len = batch_outputs[my[0][0]].shape[1]
-                row_list = [batch_outputs[bi][row] for bi, row, _ in my]
+                # a song's rows ride batches of DIFFERENT buckets (different
+                # trimmed widths): pad each to the song's widest — rows are
+                # zero past their valid length, so pads add exact 0.0s to
+                # every knot sum and the gain stays bit-identical
+                row_list = [
+                    bucket_outputs[b][bi][row] for _, b, bi, row, _ in my
+                ]
+                out_len = max(r.shape[0] for r in row_list)
+                row_list = [
+                    jnp.pad(r, (0, out_len - r.shape[0]))
+                    if r.shape[0] < out_len else r
+                    for r in row_list
+                ]
                 stacked = jnp.stack(row_list, axis=0)
                 up = rec["uploaded"]
                 rms1k = self._rms1_fn(up[0].shape[1])(
@@ -705,23 +746,24 @@ class VoiceConverter:
                 gfn = self._gain_rows_fn(
                     len(my), out_len, nf1, 0, len(my)
                 )
+                g_rows, g_offs, g_rms1 = self._put_gain_args(
+                    stacked, jnp.asarray(offsets, jnp.int32), rms1k
+                )
                 seg, am = gfn(
-                    stacked, jnp.asarray(offsets, jnp.int32), rms1k,
+                    g_rows, g_offs, g_rms1,
                     jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out),
                     jnp.int32(0), jnp.float32(opts.volume_envelope),
                 )
                 self._start_host_copy(seg, am)
                 song_fetch.append(("gain", seg, am, out_lens))
             else:
-                for bi, _, _ in my:
-                    key = (rec["plan"].bucket_len, bi)
+                for _, b, bi, _, _ in my:
+                    key = (b, bi)
                     if key not in pending_raw:
-                        seg, absmax = batch_outputs[bi]
+                        seg, absmax = bucket_outputs[b][bi]
                         self._start_host_copy(seg, absmax)
                         pending_raw[key] = (seg, absmax)
-                song_fetch.append(
-                    ("raw", rec["plan"].bucket_len, my, out_lens)
-                )
+                song_fetch.append(("raw", my, out_lens))
 
         # pass 2 — fetch (each blocks only on its own in-flight copy) and
         # finalize on host
@@ -736,10 +778,10 @@ class VoiceConverter:
                     for j, n in enumerate(out_lens) if n
                 ]
             else:
-                _, bucket_len, my, out_lens = entry
+                _, my, out_lens = entry
                 rows = []
-                for (bi, row, v), n in zip(my, out_lens):
-                    key = (bucket_len, bi)
+                for (_, b, bi, row, v), n in zip(my, out_lens):
+                    key = (b, bi)
                     if key not in fetched:
                         seg, absmax = pending_raw[key]
                         fetched[key] = (np.asarray(seg), np.asarray(absmax))
@@ -862,6 +904,20 @@ class VoiceConverter:
 
         self._trim_fns[key] = fn
         return fn
+
+    def _put_gain_args(self, rows, offs, rms1):
+        """Canonical placement for the RMS-gain graph's array inputs:
+        replicated over the mesh (the knot sums read every row anyway).
+        Chunk-graph outputs arrive with whatever sharding GSPMD chose for
+        them; pinning the gain inputs makes the gain executable's jit key
+        placement-stable, so prewarm()'s zero stand-ins load the SAME
+        executable convert() later dispatches. mesh=None: plain asarray,
+        zero-cost on the single-chip serving path."""
+        return (
+            self._put(rows, replicated=True),
+            self._put(offs, replicated=True),
+            self._put(rms1, replicated=True),
+        )
 
     def _gain_layout(self, plan, batch_idxs, batch_bucket, chunk_outn,
                      n_audio: int, uploaded_w: int):
@@ -1105,9 +1161,15 @@ class VoiceConverter:
             if self.mesh is not None:
                 pitch_dev = self._put(pitch_dev, replicated=True)
                 pitchf_dev = self._put(pitchf_dev, replicated=True)
-        host_f0 = None
         if use_f0 and not devf0_wanted:
-            host_f0 = self.compute_f0(plan.padded_audio, p_len_full, opts)
+            # fcpe/crepe (and f0-file) path: the salience graph is itself a
+            # heavy load — warm it from the pool. The chunk graphs below
+            # only need SHAPE-correct pitch rows, which _assemble_rows
+            # produces without real F0 values.
+            tasks.append((
+                lambda: self.compute_f0(plan.padded_audio, p_len_full, opts),
+                None,
+            ))
 
         B = eng.chunk_batch
         batch_idxs, batch_bucket = self._batch_geometry(plan)
@@ -1122,12 +1184,7 @@ class VoiceConverter:
                 dev_wav_bucket=int(audio_buf.shape[1]), emit=emit,
             )
             rowset = self._assemble_rows(
-                [
-                    (plan.chunks[ci], ci,
-                     host_f0[0] if host_f0 is not None else None,
-                     host_f0[1] if host_f0 is not None else None)
-                    for ci in idxs
-                ],
+                [(plan.chunks[ci], ci, None, None) for ci in idxs],
                 p_len,
             )
             if pitch_dev is not None:
@@ -1163,9 +1220,14 @@ class VoiceConverter:
                 None,
             ))
             n_rows = (2 * lay["gain_radius"] + 1) * B
-            zrows = jnp.zeros((n_rows, lay["out_len_max"]), jnp.float32)
-            zoffs = jnp.zeros(n_rows, jnp.int32)
-            zrms = jnp.zeros(lay["nf1"], jnp.float32)
+            # stand-ins carry convert()'s exact placement (_put_gain_args):
+            # jit keys include sharding, so an unsharded zeros here would
+            # warm a DIFFERENT executable than convert() dispatches on a mesh
+            zrows, zoffs, zrms = self._put_gain_args(
+                jnp.zeros((n_rows, lay["out_len_max"]), jnp.float32),
+                jnp.zeros(n_rows, jnp.int32),
+                jnp.zeros(lay["nf1"], jnp.float32),
+            )
             for emit_len in sorted(set(lay["emit_lens"])):
                 gfn = self._gain_rows_fn(
                     n_rows, lay["out_len_max"], lay["nf1"],
@@ -1319,8 +1381,11 @@ class VoiceConverter:
                     gain_radius * B, (gain_radius + 1) * B,
                     lay["emit_lens"][bi],
                 )
+                g_rows, g_offs, g_rms1 = self._put_gain_args(
+                    stacked, jnp.asarray(offs, jnp.int32), rms1k
+                )
                 return gfn(
-                    stacked, jnp.asarray(offs, jnp.int32), rms1k,
+                    g_rows, g_offs, g_rms1,
                     jnp.int32(lay["n1"]), jnp.int32(lay["n2"]),
                     jnp.int32(lay["n_out_total"]),
                     jnp.int32(k0), jnp.float32(opts.volume_envelope),

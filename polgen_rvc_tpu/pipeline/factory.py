@@ -74,11 +74,14 @@ def build_synthetic_converter(
     engine: EngineConfig = EngineConfig(),
     mesh=None,
     seed: int = 0,
+    use_f0: bool = True,
+    with_crepe: bool = False,
+    with_fcpe: bool = False,
 ) -> VoiceConverter:
     """Assemble a converter from fabricated weights (tests, benchmarks,
     compile checks — no real checkpoints exist in this environment)."""
-    cpt = make_rvc_checkpoint(sr=sr, tiny=tiny, seed=seed)
-    synth_cfg = build_config(cpt["config"], use_f0=True, version="v2")
+    cpt = make_rvc_checkpoint(sr=sr, tiny=tiny, seed=seed, use_f0=use_f0)
+    synth_cfg = build_config(cpt["config"], use_f0=use_f0, version="v2")
     synth_params = convert_synthesizer_state(cpt["weight"], synth_cfg)
     hub_cfg, hub_sd = make_hubert_state(tiny=tiny, seed=seed + 1)
     if hub_cfg.embed_dim != synth_cfg.input_dim:
@@ -93,9 +96,23 @@ def build_synthetic_converter(
         bank = (rng.standard_normal((index_vectors, hub_cfg.embed_dim)) * 0.5).astype(
             np.float32
         )
+    crepe_params = None
+    if with_crepe:
+        from ..convert.crepe_ckpt import convert_crepe_state, make_crepe_state
+
+        crepe_params = convert_crepe_state(make_crepe_state(seed=seed + 5))
+    fcpe_cfg = fcpe_params = None
+    if with_fcpe:
+        from ..convert.fcpe_ckpt import convert_fcpe_state, make_fcpe_state
+
+        fcpe_cfg, fcpe_sd = make_fcpe_state(tiny=tiny, seed=seed + 6)
+        fcpe_params = convert_fcpe_state(fcpe_sd, fcpe_cfg)
     return VoiceConverter(
         synth_cfg=synth_cfg, synth_params=synth_params,
         hubert_cfg=hub_cfg, hubert_params=convert_hubert_state(hub_sd, hub_cfg),
-        rmvpe_params=convert_rmvpe_state(make_rmvpe_state(seed=seed + 4)),
+        rmvpe_params=(convert_rmvpe_state(make_rmvpe_state(seed=seed + 4))
+                      if use_f0 else None),
         index_bank=bank, engine=engine, mesh=mesh,
+        crepe_params=crepe_params,
+        fcpe_params=fcpe_params, fcpe_cfg=fcpe_cfg,
     )

@@ -154,6 +154,44 @@ def test_engine_mesh_convert_batch_multisong(rng):
         assert d.max() <= 1, d.max()
 
 
+def test_prewarm_zero_recompile_on_mesh(rng):
+    """ADVICE r3: prewarm's gain stand-ins must carry the same placement
+    convert() produces under a mesh — jit keys include sharding, so an
+    unsharded zeros stand-in would warm a DIFFERENT gain executable than
+    the one convert() dispatches, silently re-paying the graph load the
+    prewarm exists to hide."""
+    from polgen_rvc_tpu.pipeline.config import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    eng = EngineConfig(x_pad=1, x_query=2, x_center=4, x_max=5,
+                       chunk_batch=4, bucket_step_s=2)
+    vc = build_synthetic_converter(tiny=True, sr=48000, index_vectors=64,
+                                   engine=eng, mesh=make_mesh(4, 2))
+    t = np.arange(16000 * 9) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    opts = ConversionOptions(index_rate=0.4, protect=0.2)  # envelope on
+    vc.prewarm(audio, opts)
+    chunk_keys = set(vc._chunk_fns)
+    trim_keys = set(vc._trim_fns)
+    assert any(k[0] == "gain" for k in trim_keys)
+    chunk_sizes = {
+        k: vc._chunk_fns[k][0]._jitted._cache_size() for k in chunk_keys
+    }
+    trim_sizes = {k: vc._trim_fns[k]._cache_size() for k in trim_keys}
+    vc.convert(audio, opts)
+    assert set(vc._chunk_fns) == chunk_keys
+    assert set(vc._trim_fns) == trim_keys
+    for k in chunk_keys:
+        assert vc._chunk_fns[k][0]._jitted._cache_size() == chunk_sizes[k], (
+            f"chunk graph {k} recompiled after mesh prewarm"
+        )
+    for k in trim_keys:
+        assert vc._trim_fns[k]._cache_size() == trim_sizes[k], (
+            f"trim/gain graph {k} recompiled after mesh prewarm "
+            "(placement mismatch between stand-ins and convert)"
+        )
+
+
 @pytest.mark.parametrize("n", [2, 6])
 def test_dryrun_multichip_other_mesh_shapes(n):
     """The driver hook's mesh-shape branches: n=2 -> pure-DP 2x1, n=6 ->
