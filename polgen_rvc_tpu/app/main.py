@@ -47,8 +47,14 @@ def main(argv=None):
     share_secret = os.environ.get("POLGEN_SHARE_SECRET", "")
     if "--share-secret" in argv:
         idx = argv.index("--share-secret") + 1
-        if idx < len(argv):
-            share_secret = argv[idx]
+        if idx >= len(argv):
+            # silently falling back to the env/empty secret would fail the
+            # relay handshake later with a misleading "relay unavailable"
+            raise SystemExit(
+                "[!] --share-secret requires a value (the relay's shared "
+                "secret); none was given"
+            )
+        share_secret = argv[idx]
     host = "0.0.0.0" if "--listen" in argv else "127.0.0.1"
     port = get_port_from_args(argv)
 

@@ -260,16 +260,25 @@ def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
         except OSError:
             pass
 
+    # at most this many candidates may sit in the (5 s-timeout) handshake
+    # at once: a connection flood on the public tunnel port would otherwise
+    # accumulate one thread + fd per SYN without bound. Excess candidates
+    # are dropped immediately; a legitimate app client just re-dials.
+    handshake_slots = threading.BoundedSemaphore(8)
+
     def attach(cand) -> None:
         """Handshake + supersede + demux for one tunnel candidate. Runs in
         its own thread so an unauthenticated probe holding the 5 s
         handshake timeout cannot starve a legitimate (re)connection."""
-        if not _check_handshake(cand, secret):
-            try:
-                cand.close()
-            except OSError:
-                pass
-            return
+        try:
+            if not _check_handshake(cand, secret):
+                try:
+                    cand.close()
+                except OSError:
+                    pass
+                return
+        finally:
+            handshake_slots.release()
         try:
             cand.sendall(b"OK\n")
         except OSError:
@@ -303,6 +312,12 @@ def run_relay(public_port: int, tunnel_port: int, host: str = "0.0.0.0",
                 continue
             except OSError:
                 return
+            if not handshake_slots.acquire(blocking=False):
+                try:
+                    cand.close()
+                except OSError:
+                    pass
+                continue
             threading.Thread(target=attach, args=(cand,), daemon=True).start()
 
     threading.Thread(target=wait_tunnel, daemon=True).start()

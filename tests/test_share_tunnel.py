@@ -111,6 +111,68 @@ def test_share_tunnel_roundtrip():
         ui.shutdown()
 
 
+def test_share_tunnel_handshake_flood_capped():
+    """ADVICE r3: a connection flood on the public tunnel port must not
+    accumulate unbounded handshake threads/fds — excess candidates beyond
+    the slot cap are dropped immediately, and a legitimate client still
+    attaches once the flood's sockets die."""
+    ui_port, public_port, tunnel_port = _free_port(), _free_port(), _free_port()
+    ui = http.server.ThreadingHTTPServer(("127.0.0.1", ui_port), _Handler)
+    threading.Thread(target=ui.serve_forever, daemon=True).start()
+
+    ready, stop = threading.Event(), threading.Event()
+    threading.Thread(
+        target=run_relay,
+        args=(public_port, tunnel_port),
+        kwargs={"host": "127.0.0.1", "ready_event": ready,
+                "stop_event": stop, "secret": "hunter2"},
+        daemon=True,
+    ).start()
+    assert ready.wait(5.0)
+
+    idle = []
+    try:
+        # 8 silent connections occupy every handshake slot (each would
+        # otherwise sit in the 5 s handshake timeout)
+        for _ in range(8):
+            idle.append(socket.create_connection(("127.0.0.1", tunnel_port)))
+        time.sleep(0.3)
+        # the 9th is dropped at accept time, well before any timeout
+        extra = socket.create_connection(("127.0.0.1", tunnel_port))
+        extra.settimeout(2.0)
+        assert extra.recv(1) == b"", "flood overflow was not dropped"
+        extra.close()
+        # the flood dies; its slots free as the handshakes read EOF
+        for s in idle:
+            s.close()
+        idle.clear()
+        time.sleep(0.3)
+        # a legitimate client attaches and serves
+        start_share_client(f"127.0.0.1:{tunnel_port}", ui_port,
+                           secret="hunter2")
+        time.sleep(0.4)
+        conn = http.client.HTTPConnection("127.0.0.1", public_port, timeout=5)
+        conn.request("GET", "/after-flood")
+        resp = conn.getresponse()
+        assert (resp.status, resp.read()) == (200, b"polgen:/after-flood")
+        conn.close()
+    finally:
+        for s in idle:
+            s.close()
+        stop.set()
+        ui.shutdown()
+
+
+def test_main_share_secret_requires_value():
+    """ADVICE r3: `--share-secret` as the dangling last token must error
+    out instead of silently falling back to the env/empty secret (which
+    would later fail the relay handshake with a misleading message)."""
+    from polgen_rvc_tpu.app.main import main
+
+    with pytest.raises(SystemExit):
+        main(["--share-secret"])
+
+
 def test_share_tunnel_secret_and_reconnect():
     """Wrong-secret tunnels are rejected; the relay survives a tunnel death
     and serves again through a replacement (ADVICE round-2 hardening)."""
