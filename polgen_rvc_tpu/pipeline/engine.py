@@ -23,60 +23,24 @@ import jax
 import jax.numpy as jnp
 
 from ..models.hubert import HubertConfig, hubert_extract
-from ..models.rmvpe import rmvpe_mel, rmvpe_salience
 from ..models.synthesizer import SynthesizerConfig, synthesizer_infer
-from ..ops.f0_utils import coarse_f0, salience_to_f0
-from ..ops.filters import highpass_filtfilt
 from ..retrieval.topk import retrieval_blend
 from ..utils.progress import NULL_PROGRESS, ProgressReporter
+from .batch_cover import BatchCoverMixin
 from .chunking import plan_chunks
 from .config import ConversionOptions, EngineConfig
-
-_F0_FRAME_BUCKET = 1024  # RMVPE salience compiles per multiple of this
-
-
-def _np_interp_linear(x: np.ndarray, size: int) -> np.ndarray:
-    """numpy mirror of F.interpolate(mode='linear', align_corners=False)."""
-    n = x.shape[-1]
-    if n == 1:
-        return np.repeat(x, size, axis=-1)
-    pos = (np.arange(size) + 0.5) * (n / size) - 0.5
-    pos = np.clip(pos, 0.0, n - 1)
-    lo = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
-    hi = np.clip(lo + 1, 0, n - 1)
-    frac = pos - lo
-    return x[..., lo] * (1 - frac) + x[..., hi] * frac
+# coarse_f0_np / change_rms_np / _np_interp_linear are re-exported here:
+# engine.py was their historical home before the mixin split
+from .f0_dispatch import _F0_FRAME_BUCKET, F0DispatchMixin, coarse_f0_np  # noqa: F401
+from .output import OutputPathMixin, _np_interp_linear, change_rms_np  # noqa: F401
 
 
-def _librosa_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
-    ypad = np.pad(y, frame_length // 2)
-    n = 1 + len(y) // hop_length
-    idx = np.arange(n)[:, None] * hop_length + np.arange(frame_length)[None, :]
-    return np.sqrt(np.mean(ypad[idx] ** 2, axis=-1))
-
-
-def change_rms_np(source, src_sr, target, tgt_sr, rate):
-    """Reference AudioProcessor.change_rms (pipeline.py:29-61) on host."""
-    rms1 = _librosa_rms(source, src_sr // 2 * 2, src_sr // 2)
-    rms2 = _librosa_rms(target, tgt_sr // 2 * 2, tgt_sr // 2)
-    rms1 = _np_interp_linear(rms1, len(target))
-    rms2 = np.maximum(_np_interp_linear(rms2, len(target)), 1e-6)
-    return target * (rms1 ** (1 - rate)) * (rms2 ** (rate - 1))
-
-
-def coarse_f0_np(f0, f0_min=50.0, f0_max=1100.0):
-    """Host mirror of ops.f0_utils.coarse_f0 (pipeline.py:193-201)."""
-    mel_min = 1127 * np.log(1 + f0_min / 700)
-    mel_max = 1127 * np.log(1 + f0_max / 700)
-    mel = 1127 * np.log(1 + f0 / 700)
-    mel[mel > 0] = (mel[mel > 0] - mel_min) * 254 / (mel_max - mel_min) + 1
-    mel = np.clip(mel, 1, 255)
-    return np.rint(mel).astype(np.int32)
-
-
-class VoiceConverter:
+class VoiceConverter(F0DispatchMixin, OutputPathMixin, BatchCoverMixin):
     """Cached, jitted voice conversion over one (synthesizer, hubert, rmvpe,
-    index) model set."""
+    index) model set. The F0 dispatch, RMS-gain output path, and batch
+    cover generation live in their mixin modules (f0_dispatch.py,
+    output.py, batch_cover.py); this module owns the converter state, the
+    chunk graphs, prewarm, and convert."""
 
     def __init__(
         self,
@@ -205,165 +169,6 @@ class VoiceConverter:
         mb = self.engine.max_bucket_len
         return min(mb // self.engine.window,
                    2 * self.hubert_cfg.num_frames(mb))
-
-    def _crepe_fn(self, bucket: int):
-        if bucket not in self._crepe_fns:
-            from ..models.crepe import crepe_salience
-
-            self._crepe_fns[bucket] = jax.jit(
-                lambda params, frames: crepe_salience(params, frames)
-            )
-        return self._crepe_fns[bucket]
-
-    # ------------------------------------------------------------------
-    # F0 (full-signal, reference get_f0 semantics)
-    # ------------------------------------------------------------------
-
-    def _f0_fn(self, samples_bucket: int, f0_min: float = 50.0,
-               f0_max: float = 1100.0):
-        key = (samples_bucket, float(f0_min), float(f0_max))
-        if key not in self._f0_fns:
-            # params travel as jit arguments, NOT closures: closed-over
-            # weights get baked into the HLO as constants, which bloats
-            # serialized programs and forces XLA to constant-fold them.
-            # mel + U-Net + decode + pitch math fuse into ONE graph: eager
-            # dispatch is tunnel-latency-bound in this environment.
-            # bf16 gives little speedup but risks argmax flips in the cents
-            # decode — the F0 pass stays fp32. On TPU the U-Net levels run
-            # the W-folded fused kernel (ops/pallas_unet2d.py) at fp32;
-            # round 1's UNfolded kernel lost to XLA, the M=128 fold wins.
-            cdt = jnp.float32
-            use_pallas = jax.default_backend() not in ("cpu",)
-
-            @jax.jit
-            def fn(params, audio_i16, inv_scale, threshold, shift_factor):
-                # audio arrives int16-quantized against its own max: halves
-                # the upload through the ~37 MB/s host<->device relay (the
-                # exposed head of every conversion). -96 dB quantization
-                # noise on a signal that was int16 in the source WAV anyway.
-                audio = audio_i16.astype(jnp.float32) * inv_scale
-                mel = rmvpe_mel(audio)
-                n = mel.shape[-1]
-                pad = (-n) % 32
-                if pad:
-                    mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
-                sal = rmvpe_salience(
-                    params, mel, compute_dtype=cdt, use_pallas=use_pallas
-                )[:, :n]
-                f0_raw = salience_to_f0(sal.astype(jnp.float32), threshold)
-                # "rmvpe+" range gate, then the pitch shift + coarse
-                # quantization (pipeline.py:183-201) — all device-side so the
-                # chunk graphs can consume f0 without a host round trip
-                f0 = jnp.where((f0_raw < f0_min) | (f0_raw > f0_max), 0.0, f0_raw)
-                pitchf = f0 * shift_factor
-                pitch = coarse_f0(pitchf, f0_min, f0_max)
-                return f0_raw, pitch, pitchf
-
-            self._f0_fns[key] = fn
-        return self._f0_fns[key]
-
-    def compute_f0(self, audio_pad: np.ndarray, p_len: int,
-                   opts: ConversionOptions) -> tuple[np.ndarray, np.ndarray]:
-        """(coarse pitch int32 (p_len,), pitchf float32 (p_len,))."""
-        if opts.f0_method in ("rmvpe+", "rmvpe"):
-            f0 = self._rmvpe_f0(audio_pad, opts)
-        elif opts.f0_method == "mangio-crepe":
-            from .crepe_method import crepe_f0
-
-            f0 = crepe_f0(self, audio_pad, p_len, opts)
-        elif opts.f0_method == "fcpe":
-            from .fcpe_method import fcpe_f0
-
-            f0 = fcpe_f0(self, audio_pad, p_len, opts)
-        else:
-            raise ValueError(f"unknown f0 method: {opts.f0_method}")
-        f0 = np.asarray(f0, np.float32)[:p_len]
-        if f0.shape[0] < p_len:
-            f0 = np.pad(f0, (0, p_len - f0.shape[0]))
-
-        f0 = f0 * (2.0 ** (opts.pitch / 12.0))
-        if opts.f0_file:
-            f0 = self._apply_f0_file(f0, opts.f0_file)
-        pitchf = f0.astype(np.float32)
-        pitch = coarse_f0_np(f0.copy(), opts.f0_min, opts.f0_max)
-        return pitch, pitchf
-
-    def _quantize_audio(self, audio: np.ndarray):
-        """int16-quantize a padded signal against its own max, bucketed to
-        the F0 frame step. Returns (int16 (bucket,), inv_scale f32, t)."""
-        t = audio.shape[0]
-        step = _F0_FRAME_BUCKET * 160
-        bucket = max(int(np.ceil(t / step)), 1) * step
-        amax = float(np.max(np.abs(audio))) if t else 0.0
-        scale = 32767.0 / amax if amax > 0 else 1.0
-        audio_b = np.zeros(bucket, np.int16)
-        audio_b[:t] = np.round(audio * scale)
-        return audio_b, np.float32(1.0 / scale), t
-
-    def _upload_audio(self, audio: np.ndarray):
-        """Quantize a padded signal to int16 against its own max and upload
-        ONCE: the F0 graph, the RMS1-envelope graph, and the chunk graphs
-        all read this buffer — the song's only bulk host->device transfer
-        on the ~37 MB/s relay. -96 dB quantization noise on a signal that
-        was int16 in the source WAV anyway.
-        Returns (device (1, bucket) int16, inv_scale, t)."""
-        audio_b, inv_scale, t = self._quantize_audio(audio)
-        return jnp.asarray(audio_b)[None], inv_scale, t
-
-    def _rmvpe_dispatch(self, audio: np.ndarray, opts: ConversionOptions,
-                        uploaded=None):
-        """Dispatch the fused F0 graph; returns (f0_raw, pitch, pitchf)
-        device arrays of shape (1, n) plus n — nothing synchronizes."""
-        if self.rmvpe_params is None:
-            raise RuntimeError("rmvpe weights not loaded")
-        audio_dev, inv_scale, t = uploaded or self._upload_audio(audio)
-        n = t // 160 + 1  # mel frames for this signal
-        bucket = audio_dev.shape[1]
-        shift = np.float32(2.0 ** (opts.pitch / 12.0))
-        f0_raw, pitch, pitchf = self._f0_fn(bucket, opts.f0_min, opts.f0_max)(
-            self.rmvpe_params, audio_dev, inv_scale, 0.03, shift,
-        )
-        return f0_raw, pitch, pitchf, n
-
-    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
-        f0_raw, _, _, n = self._rmvpe_dispatch(audio, opts)
-        f0 = np.array(f0_raw[0, :n])  # copy: jax buffers are read-only
-        # "rmvpe+": zero outside [f0_min, f0_max] (RMVPE.py:487-496)
-        f0[(f0 < opts.f0_min) | (f0 > opts.f0_max)] = 0.0
-        return f0
-
-    def compute_f0_device(self, audio_pad: np.ndarray, p_len: int,
-                          opts: ConversionOptions, uploaded=None):
-        """Device-resident F0: dispatch the fused rmvpe graph and return
-        (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk graphs
-        consume them without a host synchronization. Returns None when the
-        method or an f0-file override requires the host path."""
-        if opts.f0_method not in ("rmvpe+", "rmvpe") or opts.f0_file:
-            return None
-        _, pitch, pitchf, n = self._rmvpe_dispatch(audio_pad, opts, uploaded)
-        if n < p_len:  # cannot happen (n = t//160 + 1 >= t//window), but
-            return None  # fall back rather than mis-slice
-        return pitch, pitchf  # (1, P) device arrays, unfetched
-
-    def _apply_f0_file(self, f0: np.ndarray, path: str) -> np.ndarray:
-        """Reference f0-file override (pipeline.py:185-191, 351-360)."""
-        try:
-            with open(path) as f:
-                lines = f.read().strip("\n").split("\n")
-            inp = np.array(
-                [[float(v) for v in line.split(",")] for line in lines],
-                dtype=np.float32,
-            )
-        except Exception as e:
-            print(f"failed to read f0 file: {e}")
-            return f0
-        tf0 = self.engine.sample_rate // self.engine.window
-        delta_t = np.round((inp[:, 0].max() - inp[:, 0].min()) * tf0 + 1).astype("int16")
-        replace = np.interp(list(range(delta_t)), inp[:, 0] * 100, inp[:, 1])
-        start = self.engine.x_pad * tf0
-        shape = f0[start : start + len(replace)].shape[0]
-        f0[start : start + len(replace)] = replace[:shape]
-        return f0
 
     # ------------------------------------------------------------------
     # per-chunk jitted graph
@@ -528,498 +333,6 @@ class VoiceConverter:
         self._chunk_fns[key] = (fn, p_len)
         return self._chunk_fns[key]
 
-    def convert_batch(
-        self,
-        audios: list,
-        opts: "ConversionOptions" = None,
-        progress: ProgressReporter = NULL_PROGRESS,
-    ) -> list:
-        """Batch cover generation: true multi-song data parallelism.
-
-        Chunks from DIFFERENT songs pack into the same bucketed chunk
-        batches, so a wide data mesh stays full even on short songs
-        (PARITY §5 / SURVEY §2.2's scaling axis). Flow: every song's F0
-        graph is dispatched before anything synchronizes, then a global
-        work list of (song, chunk) pairs is packed bucket-by-bucket into
-        shared batches, each batch trims + int16-packs on device (per-row
-        scales keep rendering packing-invariant), and songs assemble on
-        host from the pipelined fetches. Songs fall back to serial
-        conversion only when they need host-side F0 (f0 file, crepe/fcpe).
-        On a multi-host deployment, shard the song list
-        across hosts — songs are independent, so the only DCN traffic is
-        the work split.
-        """
-        opts = opts or ConversionOptions()
-        eng = self.engine
-        use_f0 = self.synth_cfg.use_f0
-        n_songs = len(audios)
-        if n_songs == 0:
-            return []
-        serial_needed = use_f0 and (
-            opts.f0_method not in ("rmvpe+", "rmvpe") or bool(opts.f0_file)
-            or self.rmvpe_params is None
-        )
-        if serial_needed:
-            results = []
-            for i, audio in enumerate(audios):
-                progress(i / n_songs, f"song {i + 1}/{n_songs}")
-                results.append(self.convert(np.asarray(audio), opts))
-            progress(1.0, "batch done")
-            return results
-
-        # 1) per-song prep + F0 dispatch (no sync yet)
-        progress(0.05, f"planning {n_songs} songs + dispatching F0")
-        from ..ops.filters import highpass_filtfilt_pad_quant
-
-        rate_on = opts.volume_envelope != 1.0
-        songs = []
-        for audio in audios:
-            # same fused C++ head as convert() (bit-identical fallback)
-            n_in = int(np.asarray(audio).shape[0])
-            t = n_in + 2 * eng.t_pad
-            step_q = _F0_FRAME_BUCKET * 160
-            bucket_q = max(int(np.ceil(t / step_q)), 1) * step_q
-            fused = highpass_filtfilt_pad_quant(
-                np.asarray(audio, np.float64), eng.t_pad, bucket_q
-            )
-            if fused is not None:
-                audio, qbuf, inv_scale = fused
-            else:
-                audio = highpass_filtfilt(
-                    np.asarray(audio, np.float64)
-                ).astype(np.float32)
-                padded = np.pad(
-                    audio, (eng.t_pad, eng.t_pad), mode="reflect"
-                ).astype(np.float32)
-                qbuf, inv_scale, t = self._quantize_audio(padded)
-            plan = plan_chunks(audio, eng)
-            p_len_full = plan.padded_audio.shape[0] // eng.window
-            rec = {"audio": audio, "plan": plan, "p_len_full": p_len_full}
-            # chunk rows gather on host here (batches mix songs, so rows
-            # cannot all slice one device buffer) — from the DEQUANTIZED
-            # signal, so packed rows are bit-identical to convert()'s
-            # device-sliced rows
-            plan.padded_audio = qbuf[:t].astype(np.float32) * inv_scale
-            if use_f0 or rate_on:
-                rec["uploaded"] = (jnp.asarray(qbuf)[None], inv_scale, t)
-            if use_f0:
-                _, pitch, pitchf, n = self._rmvpe_dispatch(
-                    plan.padded_audio, opts, rec["uploaded"]
-                )
-                rec["pitch_d"], rec["pitchf_d"], rec["n"] = pitch, pitchf, n
-            songs.append(rec)
-
-        # 2) one synchronization point: fetch every song's (small) F0 arrays
-        if use_f0:
-            for rec in songs:
-                p = rec["p_len_full"]
-                rec["pitch"] = np.asarray(rec["pitch_d"][0, :p])
-                rec["pitchf"] = np.asarray(rec["pitchf_d"][0, :p])
-
-        # 3) global work list grouped by each CHUNK's own bucket class
-        #    (the smallest bucket-grid size that fits it) — not the song's
-        #    max bucket: quiet-point cuts drift +-t_query, so chunk lengths
-        #    vary ~2x within a song and song-max padding wastes 25-45% of
-        #    chunk compute. Bit-equality with serial convert() survives any
-        #    bucketing because the noise draws are fixed-shape
-        #    (bucket-invariant) and the masked models are pad-invariant.
-        step_bucket = eng.bucket_step_s * eng.sample_rate
-        work_by_bucket: dict = {}
-        for si, rec in enumerate(songs):
-            for ci, c in enumerate(rec["plan"].chunks):
-                cls = -(-(c.slice_end - c.slice_start) // step_bucket) \
-                    * step_bucket
-                work_by_bucket.setdefault(cls, []).append((si, ci))
-
-        use_index = self.index_bank is not None and opts.index_rate > 0
-        use_protect = use_f0 and opts.protect < 0.5
-        upp = self.synth_cfg.upp
-        t_pad_tgt = self.tgt_sr * eng.x_pad
-        rng = jax.random.PRNGKey(opts.seed)
-
-        # song -> list of (chunk id, bucket, bucket-local batch index, row,
-        # valid); a song's chunks may ride batches of DIFFERENT buckets, so
-        # every placement carries its bucket and finalize sorts by chunk id
-        placements: list[list] = [[] for _ in songs]
-        bucket_outputs: dict = {}
-        total_work = sum(len(v) for v in work_by_bucket.values())
-        done_work = 0
-        for bucket_len, work in sorted(work_by_bucket.items()):
-            batch_outputs = bucket_outputs.setdefault(bucket_len, [])
-            fn, p_len = self._chunk_fn(
-                bucket_len, eng.chunk_batch, use_index=use_index,
-                use_protect=use_protect, use_f0=use_f0,
-                emit="trimf" if rate_on else "int16",
-            )
-            for g0 in range(0, len(work), eng.chunk_batch):
-                group = work[g0 : g0 + eng.chunk_batch]
-                wav = np.zeros((eng.chunk_batch, bucket_len), np.float32)
-                for row, (si, ci) in enumerate(group):
-                    c = songs[si]["plan"].chunks[ci]
-                    seg = songs[si]["plan"].padded_audio[
-                        c.slice_start : c.slice_end
-                    ]
-                    wav[row, : seg.shape[0]] = seg
-                # per-row noise keys fold in the SONG-LOCAL chunk index, so a
-                # packed row renders bit-identically to its serial conversion
-                rowset = self._assemble_rows(
-                    [
-                        (songs[si]["plan"].chunks[ci], ci,
-                         songs[si]["pitch"] if use_f0 else None,
-                         songs[si]["pitchf"] if use_f0 else None)
-                        for si, ci in group
-                    ],
-                    p_len,
-                )
-                for row, (si, ci) in enumerate(group):
-                    placements[si].append(
-                        (ci, bucket_len, len(batch_outputs), row,
-                         rowset["valid_frames"][row])
-                    )
-                done_work += len(group)
-                progress(0.2 + 0.55 * done_work / max(total_work, 1),
-                         f"converting {done_work}/{total_work} chunks")
-                sid_b = np.full((eng.chunk_batch,), opts.speaker_id, np.int32)
-                starts_b = np.zeros(eng.chunk_batch, np.int32)
-                out = fn(
-                    self._put(wav), self._put(rowset["pitch"]),
-                    self._put(rowset["pitchf"]), self._put(starts_b),
-                    self._put(rowset["mask"]), self._put(rowset["hub_valid"]),
-                    jnp.float32(opts.index_rate), jnp.float32(opts.protect),
-                    self._put(sid_b), rng, self._put(rowset["ids"]),
-                    None, None, self._put(rowset["samp_lens"]),
-                )
-                # trim is fused into the chunk graph (emit): with the RMS
-                # envelope on, `out` is the masked f32 rows for the
-                # per-song gain graphs; otherwise it's (int16 rows, absmax)
-                # quantized per-row (packing-invariant — a row's bytes do
-                # not depend on what else rides the batch), ready to fetch
-                # pipelined behind later batches' compute.
-                batch_outputs.append(out)
-
-        # 4) per-song finalize. With the RMS envelope on, each song's rows
-        #    (ascending output order, gathered from the shared batches) run
-        #    one whole-song gain graph — the sequential-sum knot math makes
-        #    its RMS2 values bit-identical to convert()'s windowed graphs,
-        #    so packed output equals serial output exactly.
-        progress(0.85, "fetching + finalizing songs")
-        hop2 = self.tgt_sr // 2
-        # pass 1 — dispatch every song's gain graph (device) and start
-        # every device->host copy, so the per-song fetches below stream
-        # concurrently instead of serializing compute->copy per song
-        song_fetch: list[tuple] = []
-        pending_raw: dict = {}
-        for si, rec in enumerate(songs):
-            # ascending chunk id == ascending global output order (the gain
-            # graph's sequential knot sums require it for bit-equality)
-            my = sorted(placements[si])
-            out_lens = [
-                max(v * upp - 2 * t_pad_tgt, 0) for _, _, _, _, v in my
-            ]
-            n_out = int(sum(out_lens))
-            offsets = np.concatenate(
-                [[0], np.cumsum(out_lens)]
-            )[:-1].astype(np.int64)
-            if rate_on and my:
-                # a song's rows ride batches of DIFFERENT buckets (different
-                # trimmed widths): pad each to the song's widest — rows are
-                # zero past their valid length, so pads add exact 0.0s to
-                # every knot sum and the gain stays bit-identical
-                row_list = [
-                    bucket_outputs[b][bi][row] for _, b, bi, row, _ in my
-                ]
-                out_len = max(r.shape[0] for r in row_list)
-                row_list = [
-                    jnp.pad(r, (0, out_len - r.shape[0]))
-                    if r.shape[0] < out_len else r
-                    for r in row_list
-                ]
-                stacked = jnp.stack(row_list, axis=0)
-                up = rec["uploaded"]
-                rms1k = self._rms1_fn(up[0].shape[1])(
-                    up[0], up[1], jnp.int32(eng.t_pad),
-                    jnp.int32(rec["audio"].shape[0]),
-                )
-                n1 = 1 + rec["audio"].shape[0] // (eng.sample_rate // 2)
-                n2 = 1 + n_out // hop2
-                nf1 = 1 + up[0].shape[1] // 8000
-                gfn = self._gain_rows_fn(
-                    len(my), out_len, nf1, 0, len(my)
-                )
-                g_rows, g_offs, g_rms1 = self._put_gain_args(
-                    stacked, jnp.asarray(offsets, jnp.int32), rms1k
-                )
-                seg, am = gfn(
-                    g_rows, g_offs, g_rms1,
-                    jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out),
-                    jnp.int32(0), jnp.float32(opts.volume_envelope),
-                )
-                self._start_host_copy(seg, am)
-                song_fetch.append(("gain", seg, am, out_lens))
-            else:
-                for _, b, bi, _, _ in my:
-                    key = (b, bi)
-                    if key not in pending_raw:
-                        seg, absmax = bucket_outputs[b][bi]
-                        self._start_host_copy(seg, absmax)
-                        pending_raw[key] = (seg, absmax)
-                song_fetch.append(("raw", my, out_lens))
-
-        # pass 2 — fetch (each blocks only on its own in-flight copy) and
-        # finalize on host
-        results = []
-        fetched: dict = {}
-        for entry in song_fetch:
-            if entry[0] == "gain":
-                _, seg, am, out_lens = entry
-                seg_h, am_h = np.asarray(seg), np.asarray(am)
-                rows = [
-                    (seg_h[j, :n], am_h[j])
-                    for j, n in enumerate(out_lens) if n
-                ]
-            else:
-                _, my, out_lens = entry
-                rows = []
-                for (_, b, bi, row, v), n in zip(my, out_lens):
-                    key = (b, bi)
-                    if key not in fetched:
-                        seg, absmax = pending_raw[key]
-                        fetched[key] = (np.asarray(seg), np.asarray(absmax))
-                    seg_h, am_h = fetched[key]
-                    if n:
-                        rows.append((seg_h[row, :n], am_h[row]))
-            audio_opt = self._rows_to_audio(rows)
-            results.append(self._host_finalize(audio_opt, opts))
-        progress(1.0, "batch done")
-        return results
-
-    # ------------------------------------------------------------------
-    # output path: per-batch device trim + int16 pack, host finalize
-    # ------------------------------------------------------------------
-
-    def _rms1_fn(self, bucket: int):
-        """RMS knots of the 16 kHz source from the already-uploaded padded
-        int16 signal: librosa rms(frame=16000, hop=8000, center) semantics
-        via one cumulative sum (change_rms's rms1, pipeline.py:29-61)."""
-        key = ("rms1", bucket)
-        if key in self._trim_fns:
-            return self._trim_fns[key]
-        nf1 = 1 + bucket // 8000
-
-        @jax.jit
-        def fn(audio_i16, inv_scale, start, n16):
-            src = audio_i16[0].astype(jnp.float32) * inv_scale
-            # window of the true signal: [start, start + n16) — zero the
-            # reflect padding around it before summing
-            idx = jnp.arange(bucket)
-            src = jnp.where((idx >= start) & (idx < start + n16), src, 0.0)
-            src = jnp.roll(src, -start)  # signal now begins at index 0
-            c = jnp.concatenate([jnp.zeros(1), jnp.cumsum(src * src)])
-            k = jnp.arange(nf1)
-            lo = jnp.clip(k * 8000 - 8000, 0, bucket)
-            hi = jnp.clip(k * 8000 + 8000, 0, bucket)
-            return jnp.sqrt((c[hi] - c[lo]) / 16000.0)  # (nf1,)
-
-        self._trim_fns[key] = fn
-        return fn
-
-    def _gain_rows_fn(self, n_rows: int, out_len: int, nf1: int,
-                      emit_lo: int, emit_hi: int, emit_len: int = None):
-        """RMS-envelope gain applied on device to trimmed rows.
-
-        rows: (n_rows, out_len) f32 valid-masked rows whose global output
-        positions are `offsets`; rms2 knots (librosa rms frame=tgt_sr,
-        hop=tgt_sr/2 over the FULL concatenated output) are reconstructed
-        exactly from per-row cumulative sums — windows crossing row or
-        batch boundaries sum contributions from every supplied row, so a
-        1-batch neighborhood suffices in the streaming pipeline and a
-        whole-song row set in batch mode gives bit-identical values.
-        Emits rows [emit_lo, emit_hi) as int16 + per-row absmax (same
-        contract as _trim_fn), truncated to emit_len columns (the emitted
-        batch's own bucket width — rows are zero past their valid length,
-        so truncation never drops signal and the fetch stays exact-sized).
-        Mirrors change_rms (pipeline.py:29-61) + the old device finalize's
-        interpolation."""
-        if emit_len is None:
-            emit_len = out_len
-        key = ("gain", n_rows, out_len, nf1, emit_lo, emit_hi, emit_len)
-        if key in self._trim_fns:
-            return self._trim_fns[key]
-        hop2 = self.tgt_sr // 2
-        frame2 = hop2 * 2
-        n_emit = emit_hi - emit_lo
-        # every rms2 knot whose window any supplied row can touch
-        n_knots = n_rows * out_len // hop2 + 4
-
-        @jax.jit
-        def fn(rows, offsets, rms1, n1, n2, n_out, k0, rate):
-            c = jnp.concatenate(
-                [jnp.zeros((n_rows, 1)), jnp.cumsum(rows * rows, axis=1)],
-                axis=1,
-            )
-            k = k0 + jnp.arange(n_knots)  # global knot ids
-            glo = k * hop2 - hop2
-            ghi = k * hop2 + hop2
-            lo_r = jnp.clip(glo[None, :] - offsets[:, None], 0, out_len)
-            hi_r = jnp.clip(ghi[None, :] - offsets[:, None], 0, out_len)
-            sums = (
-                jnp.take_along_axis(c, hi_r, axis=1)
-                - jnp.take_along_axis(c, lo_r, axis=1)
-            )
-            # sequential sum in ascending row order: rows outside a knot's
-            # window contribute an exact 0.0, so the addend sequence — and
-            # therefore every bit of rms2 — is identical whether the rows
-            # are a 1-batch neighborhood (convert) or a whole song
-            # (convert_batch). jnp.sum's reduction tree would not be.
-            total = sums[0]
-            for r in range(1, n_rows):
-                total = total + sums[r]
-            rms2 = jnp.sqrt(total / frame2)  # (n_knots,)
-
-            def interp(vals, pos, n_valid, local0):
-                pos = jnp.clip(pos, 0.0, n_valid.astype(jnp.float32) - 1.0)
-                lo = jnp.floor(pos).astype(jnp.int32)
-                hi = jnp.minimum(lo + 1, n_valid - 1)
-                frac = pos - lo.astype(jnp.float32)
-                size = vals.shape[0]
-                lo = jnp.clip(lo - local0, 0, size - 1)
-                hi = jnp.clip(hi - local0, 0, size - 1)
-                return vals[lo] * (1 - frac) + vals[hi] * frac
-
-            idx = (
-                offsets[emit_lo:emit_hi, None]
-                + jnp.arange(out_len)[None, :]
-            ).astype(jnp.float32)  # (n_emit, out_len) global positions
-            fn_out = n_out.astype(jnp.float32)
-            pos1 = (idx + 0.5) * (n1.astype(jnp.float32) / fn_out) - 0.5
-            pos2 = (idx + 0.5) * (n2.astype(jnp.float32) / fn_out) - 0.5
-            g1 = interp(rms1, pos1, n1, 0)
-            g2 = jnp.maximum(interp(rms2, pos2, n2, k0), 1e-6)
-            gain = jnp.power(g1, 1.0 - rate) * jnp.power(g2, rate - 1.0)
-            gained = (rows[emit_lo:emit_hi] * gain)[:, :emit_len]
-            absmax = jnp.max(jnp.abs(gained), axis=1)
-            scale = 32767.0 / jnp.maximum(absmax, 1e-9)
-            seg = jnp.round(gained * scale[:, None]).astype(jnp.int16)
-            return seg, absmax
-
-        self._trim_fns[key] = fn
-        return fn
-
-    def _put_gain_args(self, rows, offs, rms1):
-        """Canonical placement for the RMS-gain graph's array inputs:
-        replicated over the mesh (the knot sums read every row anyway).
-        Chunk-graph outputs arrive with whatever sharding GSPMD chose for
-        them; pinning the gain inputs makes the gain executable's jit key
-        placement-stable, so prewarm()'s zero stand-ins load the SAME
-        executable convert() later dispatches. mesh=None: plain asarray,
-        zero-cost on the single-chip serving path."""
-        return (
-            self._put(rows, replicated=True),
-            self._put(offs, replicated=True),
-            self._put(rms1, replicated=True),
-        )
-
-    def _gain_layout(self, plan, batch_idxs, batch_bucket, chunk_outn,
-                     n_audio: int, uploaded_w: int):
-        """Emit geometry of the RMS-gain graphs for one song: shared by
-        convert()'s dispatch_gain and prewarm() so both construct the SAME
-        _gain_rows_fn keys (any divergence would compile an unwarmed
-        graph at serving time)."""
-        eng = self.engine
-        window = eng.window
-        upp = self.synth_cfg.upp
-        t_pad_tgt = self.tgt_sr * eng.x_pad
-        hop2 = self.tgt_sr // 2
-        n_out_total = int(sum(chunk_outn))
-        p_len_max = min(
-            plan.bucket_len // window,
-            2 * self.hubert_cfg.num_frames(plan.bucket_len),
-        )
-        out_len_max = p_len_max * upp - 2 * t_pad_tgt
-        n_batches = len(batch_idxs)
-        # neighborhood radius: a batch's rms2 knots + interpolation read
-        # at most ~2.5*hop2 of output beyond its own span, so with every
-        # middle batch spanning >= 3*hop2 one neighbor each side covers
-        # it (production configs always do: middle chunks carry
-        # >= (x_center - 2*x_query) s of content). Degenerate short-chunk
-        # configs widen the radius until r neighbors span the reach —
-        # bit-identical either way, because rows outside a knot's window
-        # add an exact 0.0 to its sum (see _gain_rows_fn).
-        batch_span = [
-            sum(chunk_outn[ci] for ci in idxs) for idxs in batch_idxs
-        ]
-        gain_radius = 1
-        if n_batches > 2:
-            min_mid = min(batch_span[1:-1])
-            if min_mid < 3 * hop2:
-                gain_radius = min(
-                    n_batches - 1,
-                    int(np.ceil(3 * hop2 / max(min_mid, 1))),
-                )
-        # emit at each batch's own bucket width: fetched bytes stay exact
-        emit_lens = [
-            min(bb // window, 2 * self.hubert_cfg.num_frames(bb)) * upp
-            - 2 * t_pad_tgt
-            for bb in batch_bucket
-        ]
-        return {
-            "n1": 1 + n_audio // (eng.sample_rate // 2),
-            "n2": 1 + n_out_total // hop2,
-            "nf1": 1 + uploaded_w // 8000,
-            "n_out_total": n_out_total,
-            "out_len_max": out_len_max,
-            "gain_radius": gain_radius,
-            "emit_lens": emit_lens,
-        }
-
-    @staticmethod
-    def _start_host_copy(*arrays):
-        """Start device->host transfers without blocking: the relay then
-        streams every pending output concurrently and each later
-        np.asarray blocks only on its own, already-in-flight copy (no-op
-        on backends without the hint)."""
-        for a in arrays:
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-
-    def _rows_to_audio(self, fetched_rows):
-        """[(seg int16 (n,), absmax)] -> concatenated float32 audio."""
-        parts = [
-            seg.astype(np.float32) * (float(am) / 32767.0)
-            for seg, am in fetched_rows
-        ]
-        return (
-            np.concatenate(parts) if parts else np.zeros(0, np.float32)
-        )
-
-    def _host_finalize(self, audio_opt: np.ndarray,
-                       opts: ConversionOptions):
-        """Host tail of the reference post-processing (pipeline.py:454-461):
-        optional resample + int16 normalize. The RMS envelope mix already
-        happened on device (_gain_rows_fn) — this host's CPU takes seconds
-        for the 8M-sample numpy version."""
-        out_sr = self.tgt_sr
-        if (
-            opts.resample_sr >= self.engine.sample_rate
-            and opts.resample_sr != self.tgt_sr
-        ):
-            import math as _math
-            from scipy.signal import resample_poly
-
-            g = _math.gcd(self.tgt_sr, opts.resample_sr)
-            audio_opt = resample_poly(
-                audio_opt, opts.resample_sr // g, self.tgt_sr // g
-            )
-            out_sr = opts.resample_sr
-
-        audio_max = np.abs(audio_opt).max() / 0.99 if audio_opt.size else 0.0
-        max_int16 = 32768.0
-        if audio_max > 1:
-            max_int16 /= audio_max
-        return (audio_opt * max_int16).astype(np.int16), out_sr
-
     # ------------------------------------------------------------------
     # full pipeline
     # ------------------------------------------------------------------
@@ -1033,7 +346,7 @@ class VoiceConverter:
         from this geometry, so a divergence between the two would compile
         an unwarmed graph at serving time."""
         eng = self.engine
-        from ..ops.filters import highpass_filtfilt_pad_quant
+        from ..ops.filters import highpass_filtfilt, highpass_filtfilt_pad_quant
 
         n_in = int(np.asarray(audio16k).shape[0])
         padded_len = n_in + 2 * eng.t_pad

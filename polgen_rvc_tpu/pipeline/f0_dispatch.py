@@ -1,0 +1,192 @@
+"""Full-signal F0 dispatch: the fused RMVPE graph + fcpe/crepe glue.
+
+Mixin half of VoiceConverter (pipeline/engine.py) — F0 runs once over the
+whole padded signal (reference get_f0 semantics, /root/reference/rvc/infer/
+pipeline.py:119-201) through bucketed, jitted graphs; the rmvpe path stays
+device-resident so chunk graphs slice it without a host round trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.rmvpe import rmvpe_mel, rmvpe_salience
+from ..ops.f0_utils import coarse_f0, salience_to_f0
+from .config import ConversionOptions
+
+_F0_FRAME_BUCKET = 1024  # RMVPE salience compiles per multiple of this
+
+
+def coarse_f0_np(f0, f0_min=50.0, f0_max=1100.0):
+    """Host mirror of ops.f0_utils.coarse_f0 (pipeline.py:193-201)."""
+    mel_min = 1127 * np.log(1 + f0_min / 700)
+    mel_max = 1127 * np.log(1 + f0_max / 700)
+    mel = 1127 * np.log(1 + f0 / 700)
+    mel[mel > 0] = (mel[mel > 0] - mel_min) * 254 / (mel_max - mel_min) + 1
+    mel = np.clip(mel, 1, 255)
+    return np.rint(mel).astype(np.int32)
+
+class F0DispatchMixin:
+    """F0 half of VoiceConverter (engine.py hosts the converter class)."""
+
+    def _crepe_fn(self, bucket: int):
+        if bucket not in self._crepe_fns:
+            from ..models.crepe import crepe_salience
+
+            self._crepe_fns[bucket] = jax.jit(
+                lambda params, frames: crepe_salience(params, frames)
+            )
+        return self._crepe_fns[bucket]
+
+    # ------------------------------------------------------------------
+    # F0 (full-signal, reference get_f0 semantics)
+    # ------------------------------------------------------------------
+
+    def _f0_fn(self, samples_bucket: int, f0_min: float = 50.0,
+               f0_max: float = 1100.0):
+        key = (samples_bucket, float(f0_min), float(f0_max))
+        if key not in self._f0_fns:
+            # params travel as jit arguments, NOT closures: closed-over
+            # weights get baked into the HLO as constants, which bloats
+            # serialized programs and forces XLA to constant-fold them.
+            # mel + U-Net + decode + pitch math fuse into ONE graph: eager
+            # dispatch is tunnel-latency-bound in this environment.
+            # bf16 gives little speedup but risks argmax flips in the cents
+            # decode — the F0 pass stays fp32. On TPU the U-Net levels run
+            # the W-folded fused kernel (ops/pallas_unet2d.py) at fp32;
+            # round 1's UNfolded kernel lost to XLA, the M=128 fold wins.
+            cdt = jnp.float32
+            use_pallas = jax.default_backend() not in ("cpu",)
+
+            @jax.jit
+            def fn(params, audio_i16, inv_scale, threshold, shift_factor):
+                # audio arrives int16-quantized against its own max: halves
+                # the upload through the ~37 MB/s host<->device relay (the
+                # exposed head of every conversion). -96 dB quantization
+                # noise on a signal that was int16 in the source WAV anyway.
+                audio = audio_i16.astype(jnp.float32) * inv_scale
+                mel = rmvpe_mel(audio)
+                n = mel.shape[-1]
+                pad = (-n) % 32
+                if pad:
+                    mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
+                sal = rmvpe_salience(
+                    params, mel, compute_dtype=cdt, use_pallas=use_pallas
+                )[:, :n]
+                f0_raw = salience_to_f0(sal.astype(jnp.float32), threshold)
+                # "rmvpe+" range gate, then the pitch shift + coarse
+                # quantization (pipeline.py:183-201) — all device-side so the
+                # chunk graphs can consume f0 without a host round trip
+                f0 = jnp.where((f0_raw < f0_min) | (f0_raw > f0_max), 0.0, f0_raw)
+                pitchf = f0 * shift_factor
+                pitch = coarse_f0(pitchf, f0_min, f0_max)
+                return f0_raw, pitch, pitchf
+
+            self._f0_fns[key] = fn
+        return self._f0_fns[key]
+
+    def compute_f0(self, audio_pad: np.ndarray, p_len: int,
+                   opts: ConversionOptions) -> tuple[np.ndarray, np.ndarray]:
+        """(coarse pitch int32 (p_len,), pitchf float32 (p_len,))."""
+        if opts.f0_method in ("rmvpe+", "rmvpe"):
+            f0 = self._rmvpe_f0(audio_pad, opts)
+        elif opts.f0_method == "mangio-crepe":
+            from .crepe_method import crepe_f0
+
+            f0 = crepe_f0(self, audio_pad, p_len, opts)
+        elif opts.f0_method == "fcpe":
+            from .fcpe_method import fcpe_f0
+
+            f0 = fcpe_f0(self, audio_pad, p_len, opts)
+        else:
+            raise ValueError(f"unknown f0 method: {opts.f0_method}")
+        f0 = np.asarray(f0, np.float32)[:p_len]
+        if f0.shape[0] < p_len:
+            f0 = np.pad(f0, (0, p_len - f0.shape[0]))
+
+        f0 = f0 * (2.0 ** (opts.pitch / 12.0))
+        if opts.f0_file:
+            f0 = self._apply_f0_file(f0, opts.f0_file)
+        pitchf = f0.astype(np.float32)
+        pitch = coarse_f0_np(f0.copy(), opts.f0_min, opts.f0_max)
+        return pitch, pitchf
+
+    def _quantize_audio(self, audio: np.ndarray):
+        """int16-quantize a padded signal against its own max, bucketed to
+        the F0 frame step. Returns (int16 (bucket,), inv_scale f32, t)."""
+        t = audio.shape[0]
+        step = _F0_FRAME_BUCKET * 160
+        bucket = max(int(np.ceil(t / step)), 1) * step
+        amax = float(np.max(np.abs(audio))) if t else 0.0
+        scale = 32767.0 / amax if amax > 0 else 1.0
+        audio_b = np.zeros(bucket, np.int16)
+        audio_b[:t] = np.round(audio * scale)
+        return audio_b, np.float32(1.0 / scale), t
+
+    def _upload_audio(self, audio: np.ndarray):
+        """Quantize a padded signal to int16 against its own max and upload
+        ONCE: the F0 graph, the RMS1-envelope graph, and the chunk graphs
+        all read this buffer — the song's only bulk host->device transfer
+        on the ~37 MB/s relay. -96 dB quantization noise on a signal that
+        was int16 in the source WAV anyway.
+        Returns (device (1, bucket) int16, inv_scale, t)."""
+        audio_b, inv_scale, t = self._quantize_audio(audio)
+        return jnp.asarray(audio_b)[None], inv_scale, t
+
+    def _rmvpe_dispatch(self, audio: np.ndarray, opts: ConversionOptions,
+                        uploaded=None):
+        """Dispatch the fused F0 graph; returns (f0_raw, pitch, pitchf)
+        device arrays of shape (1, n) plus n — nothing synchronizes."""
+        if self.rmvpe_params is None:
+            raise RuntimeError("rmvpe weights not loaded")
+        audio_dev, inv_scale, t = uploaded or self._upload_audio(audio)
+        n = t // 160 + 1  # mel frames for this signal
+        bucket = audio_dev.shape[1]
+        shift = np.float32(2.0 ** (opts.pitch / 12.0))
+        f0_raw, pitch, pitchf = self._f0_fn(bucket, opts.f0_min, opts.f0_max)(
+            self.rmvpe_params, audio_dev, inv_scale, 0.03, shift,
+        )
+        return f0_raw, pitch, pitchf, n
+
+    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
+        f0_raw, _, _, n = self._rmvpe_dispatch(audio, opts)
+        f0 = np.array(f0_raw[0, :n])  # copy: jax buffers are read-only
+        # "rmvpe+": zero outside [f0_min, f0_max] (RMVPE.py:487-496)
+        f0[(f0 < opts.f0_min) | (f0 > opts.f0_max)] = 0.0
+        return f0
+
+    def compute_f0_device(self, audio_pad: np.ndarray, p_len: int,
+                          opts: ConversionOptions, uploaded=None):
+        """Device-resident F0: dispatch the fused rmvpe graph and return
+        (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk graphs
+        consume them without a host synchronization. Returns None when the
+        method or an f0-file override requires the host path."""
+        if opts.f0_method not in ("rmvpe+", "rmvpe") or opts.f0_file:
+            return None
+        _, pitch, pitchf, n = self._rmvpe_dispatch(audio_pad, opts, uploaded)
+        if n < p_len:  # cannot happen (n = t//160 + 1 >= t//window), but
+            return None  # fall back rather than mis-slice
+        return pitch, pitchf  # (1, P) device arrays, unfetched
+
+    def _apply_f0_file(self, f0: np.ndarray, path: str) -> np.ndarray:
+        """Reference f0-file override (pipeline.py:185-191, 351-360)."""
+        try:
+            with open(path) as f:
+                lines = f.read().strip("\n").split("\n")
+            inp = np.array(
+                [[float(v) for v in line.split(",")] for line in lines],
+                dtype=np.float32,
+            )
+        except Exception as e:
+            print(f"failed to read f0 file: {e}")
+            return f0
+        tf0 = self.engine.sample_rate // self.engine.window
+        delta_t = np.round((inp[:, 0].max() - inp[:, 0].min()) * tf0 + 1).astype("int16")
+        replace = np.interp(list(range(delta_t)), inp[:, 0] * 100, inp[:, 1])
+        start = self.engine.x_pad * tf0
+        shape = f0[start : start + len(replace)].shape[0]
+        f0[start : start + len(replace)] = replace[:shape]
+        return f0
+
