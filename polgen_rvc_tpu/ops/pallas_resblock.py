@@ -68,14 +68,21 @@ def pack_resblock_weights(params_list, kernel_sizes, dilations, dtype=jnp.bfloat
 
 
 def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
-                 n_tiles, seq_len):
+                 n_tiles, seq_len, split: int = 1):
     n_res = len(conv_specs)
 
     def kernel(x_ref, *refs):
         w_list = refs[0 : 2 * n_convs : 2]
         b_list = refs[1 : 2 * n_convs : 2]
         out_ref = refs[2 * n_convs]
-        im2col = refs[2 * n_convs + 1]  # VMEM scratch (kmax*C, Tt+2H)
+        # VMEM im2col scratch(es), each (kmax*C, Tt+2H). split > 1 divides
+        # every conv's GEMM into column pieces on ALTERNATING scratches:
+        # piece p+1's im2col build (VPU copies) is independent of piece
+        # p's GEMM (MXU, reads the other scratch), so Mosaic can overlap
+        # them — the kernel is VPU-bound (im2col copies) with the MXU
+        # idle during builds (ROUND_NOTES r3), and the conv chain's data
+        # dependency forbids prefetching ACROSS convs.
+        scratches = refs[2 * n_convs + 1 : 2 * n_convs + 1 + split]
 
         # absolute sequence position of buffer column 0 for this tile:
         # reference convs zero-pad at sequence edges before EVERY conv, so
@@ -112,13 +119,12 @@ def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
                         + jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
                     )
                     src = jnp.where((pos >= 0) & (pos < seq_len), src, 0.0)
-                    # im2col + one GEMM per conv. (A per-tap accumulated-
-                    # GEMM variant without the im2col scratch measured
-                    # 5-8% SLOWER at every production shape on v5e.)
-                    for kk in range(k):
-                        im2col[kk * C : (kk + 1) * C, :out_w] = src[
-                            :, kk * dil : kk * dil + out_w
-                        ].astype(im2col.dtype)
+                    # im2col + one GEMM per conv (column-split over the
+                    # scratches when split > 1; per-column contraction is
+                    # independent, so pieces are bit-identical to the
+                    # full-width dot). (A per-tap accumulated-GEMM variant
+                    # without the im2col scratch measured 5-8% SLOWER at
+                    # every production shape on v5e.)
                     # bf16 x bf16 -> f32 accumulate: both operands are
                     # already bf16-stored (weights packed bf16, im2col
                     # scratch bf16), and bf16 products are EXACT in f32
@@ -126,12 +132,25 @@ def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
                     # f32-cast dot while running single-pass on the MXU
                     # instead of multi-pass fp32 emulation (~3x: the f32
                     # variant measured at the fp32-MXU ceiling, ~60 TF/s)
-                    y = jax.lax.dot_general(
-                        w_list[conv_idx][:],
-                        im2col[: k * C, :out_w],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    pw = -(-out_w // split)
+                    ys = []
+                    for pc in range(split):
+                        lo = pc * pw
+                        wp = min(out_w - lo, pw)
+                        if wp <= 0:
+                            break
+                        sc = scratches[pc]
+                        for kk in range(k):
+                            sc[kk * C : (kk + 1) * C, :wp] = src[
+                                :, lo + kk * dil : lo + kk * dil + wp
+                            ].astype(sc.dtype)
+                        ys.append(jax.lax.dot_general(
+                            w_list[conv_idx][:],
+                            sc[: k * C, :wp],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                    y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=1)
                     cur = y + b_list[conv_idx][:]
                     conv_idx += 1
                     width = out_w
@@ -157,6 +176,7 @@ def fused_resblock_group(
     time_tile: int = 512,
     interpret: bool = False,
     packed=None,
+    split: int = 1,
 ):
     """x: (B, C, T) -> mean_r resblock_r(x), shape (B, C, T).
 
@@ -170,12 +190,12 @@ def fused_resblock_group(
         packed = pack_resblock_weights(params_list, kernel_sizes, dilations)
     return _fused_group_call(
         x, packed, conv_specs, lrelu_slope=lrelu_slope, time_tile=time_tile,
-        interpret=interpret,
+        interpret=interpret, split=split,
     )
 
 
 def _fused_group_call(x, packed, conv_specs, *, lrelu_slope, time_tile,
-                      interpret):
+                      interpret, split: int = 1):
     """Shared pallas_call driver for the plain and time-folded variants."""
     b, c, t = x.shape
     n_res = len(conv_specs)
@@ -199,6 +219,7 @@ def _fused_group_call(x, packed, conv_specs, *, lrelu_slope, time_tile,
 
     kernel = _make_kernel(
         c, time_tile, h, conv_specs, lrelu_slope, n_convs, n_tiles, t,
+        split=split,
     )
 
     wb_specs = []
@@ -227,7 +248,8 @@ def _fused_group_call(x, packed, conv_specs, *, lrelu_slope, time_tile,
         ),
         out_shape=jax.ShapeDtypeStruct((b * n_tiles, c, time_tile), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kmax * c, time_tile + 2 * h), jnp.bfloat16),
+            pltpu.VMEM((kmax * c, time_tile + 2 * h), jnp.bfloat16)
+            for _ in range(split)
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -337,6 +359,7 @@ def fused_resblock_group_folded(
     time_tile: int = 1024,
     interpret: bool = False,
     packed=None,
+    split: int = 1,
 ):
     """Time-folded fused resblock group: numerically equivalent to
     fused_resblock_group (and the XLA path) for T % fold == 0."""
@@ -352,6 +375,6 @@ def fused_resblock_group_folded(
     xf = fold_time(x, fold)
     out = _fused_group_call(
         xf, packed, conv_specs, lrelu_slope=lrelu_slope,
-        time_tile=time_tile, interpret=interpret,
+        time_tile=time_tile, interpret=interpret, split=split,
     )
     return unfold_time(out, fold)

@@ -97,3 +97,29 @@ def test_non_tile_multiple_length(rng):
         )
     )
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-3)
+
+
+@pytest.mark.parametrize("variant", ["plain", "folded"])
+def test_column_split_pipelining_parity(rng, variant):
+    """split=2 divides every conv's GEMM into column pieces on alternating
+    im2col scratches (MXU/VPU overlap candidate — ROUND_NOTES r4). Each
+    output column's contraction is unchanged, so the only permitted drift
+    is sub-ulp from the backend's K-blocking at the different matmul
+    widths."""
+    from polgen_rvc_tpu.ops.pallas_resblock import fused_resblock_group_folded
+
+    kernel_sizes = (3, 7, 11)
+    dilations = ((1, 3, 5),) * 3
+    c = 32
+    params = _mk_params(rng, c, kernel_sizes, dilations)
+    x = (rng.standard_normal((1, c, 2048)) * 0.3).astype(np.float32)
+    fn = (fused_resblock_group if variant == "plain"
+          else fused_resblock_group_folded)
+    kw = {} if variant == "plain" else {"fold": 4}
+    a = np.asarray(fn(jnp.asarray(x), params, kernel_sizes=kernel_sizes,
+                      dilations=dilations, interpret=True, time_tile=512,
+                      **kw))
+    b = np.asarray(fn(jnp.asarray(x), params, kernel_sizes=kernel_sizes,
+                      dilations=dilations, interpret=True, time_tile=512,
+                      split=2, **kw))
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-6)
