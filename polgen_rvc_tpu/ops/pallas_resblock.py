@@ -82,6 +82,13 @@ def _make_kernel(C, Tt, H, conv_specs, lrelu_slope, n_convs,
         # them — the kernel is VPU-bound (im2col copies) with the MXU
         # idle during builds (ROUND_NOTES r3), and the conv chain's data
         # dependency forbids prefetching ACROSS convs.
+        #
+        # MEASURED NO-WIN on v5e at every production shape (round 4,
+        # tools/bench_split.py + interleaved A/B in bench_split_ab.py):
+        # C128 t1024 0.066->0.077, C64 t2048 0.068->0.073, C32-fold4
+        # t2048 median 0.0694 vs 0.0698. Apparent wins at wider-than-
+        # production tiles were relay drift. Production keeps split=1;
+        # the parameter stays for re-measurement on other TPU generations.
         scratches = refs[2 * n_convs + 1 : 2 * n_convs + 1 + split]
 
         # absolute sequence position of buffer column 0 for this tile:

@@ -49,12 +49,20 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"{name}: {best:.4f}s", flush=True)
 
-    # production decoder stages: (C, T, folded?, tile)
-    for c, t, folded, tile in (
+    # decoder stages: (C, T, folded?, tile). The first three tiles match
+    # models/nsf.py's production choices; the wider-tile rows measure
+    # whether split shifts the tile optimum (scratch VMEM doubles at
+    # split=2, but overlap may favor longer tiles).
+    shapes = (
+        (128, 528_000, False, 1024),
+        (64, 1_056_000, False, 2048),
+        (32, 2_112_000, True, 2048),
         (128, 528_000, False, 2048),
         (64, 1_056_000, False, 4096),
-        (32, 2_112_000, True, 2048),
-    ):
+    )
+    if "--production-only" in sys.argv:
+        shapes = shapes[:3]
+    for c, t, folded, tile in shapes:
         params = []
         for k in kernel_sizes:
             p = {"convs1": [], "convs2": []}
@@ -69,7 +77,8 @@ def main():
         params = jax.tree.map(jnp.asarray, params)
         x = jnp.asarray(rng.standard_normal((B, c, t)) * 0.3, jnp.bfloat16)
 
-        for split in (1, 2, 3):
+        # split=3 measured >= split=2 at every shape in the first sweep
+        for split in (1, 2) if "--production-only" in sys.argv else (1, 2, 3):
             # params as ARGS, not closures (remote-compile 413 + const-fold)
             if folded:
                 fn = jax.jit(lambda y, sp, s=split: fused_resblock_group_folded(
