@@ -10,7 +10,13 @@ import jax.numpy as jnp
 
 from ..models.crepe import crepe_f0_decode, crepe_frames, crepe_salience
 
-_FRAME_BUCKET = 512
+# Per-dispatch frame batch. CREPE's first conv expands every 1024-sample
+# frame to (1024 ch x 256 h) ~ 0.5 MB of bf16 temp PER FRAME, so a whole
+# 3-min song (~18k frames) in one graph needs ~17 GB HBM — over the v5e's
+# 16 GB (measured OOM). A fixed 2048-frame batch keeps the peak temp at
+# ~1 GB, compiles ONE graph regardless of song length, and the batches
+# dispatch asynchronously so device work stays back-to-back.
+_FRAME_BUCKET = 2048
 
 
 def crepe_f0(vc, audio: np.ndarray, p_len: int, opts) -> np.ndarray:
@@ -26,11 +32,17 @@ def crepe_f0(vc, audio: np.ndarray, p_len: int, opts) -> np.ndarray:
 
     frames = np.asarray(crepe_frames(jnp.asarray(x)[None], hop))[0]  # (N, 1024)
     n = frames.shape[0]
-    bucket = int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET
-    frames = np.pad(frames, ((0, bucket - n), (0, 0)))
+    padded = int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET
+    frames = np.pad(frames, ((0, padded - n), (0, 0)))
 
-    fn = vc._crepe_fn(bucket)
-    salience = np.asarray(fn(vc.crepe_params, jnp.asarray(frames)))[:n]
+    fn = vc._crepe_fn(_FRAME_BUCKET)
+    # dispatch every batch before fetching any: JAX dispatch is async, so
+    # the device pipelines batch k+1's compute under batch k's D2H copy
+    outs = [
+        fn(vc.crepe_params, jnp.asarray(frames[i : i + _FRAME_BUCKET]))
+        for i in range(0, padded, _FRAME_BUCKET)
+    ]
+    salience = np.concatenate([np.asarray(o) for o in outs])[:n]
 
     f0 = crepe_f0_decode(salience, f0_min=opts.f0_min, f0_max=opts.f0_max)
 
