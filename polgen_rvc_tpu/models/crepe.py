@@ -6,8 +6,9 @@ per-frame normalization, sigmoid over 360 pitch bins, then Viterbi decoding
 with a triangular transition and local weighted-average cents.
 
 Batch-norm is folded at conversion; frames batch over the MXU (the frame
-batch is the only large dim). Viterbi runs host-side (numpy, O(T*360*25)
-via banded transitions).
+batch is the only large dim). Viterbi runs host-side, banded in C++
+(native/viterbi.cpp, O(T*360*(2*width-1)), bit-identical to the dense
+reference formulation kept as viterbi_path_dense).
 """
 
 from __future__ import annotations
@@ -87,13 +88,19 @@ def _transition_matrix(width: int = 12) -> np.ndarray:
     return t / t.sum(axis=1, keepdims=True)
 
 
-def viterbi_path(probs: np.ndarray, width: int = 12) -> np.ndarray:
-    """(T, 360) observation probs -> most likely bin path (torchcrepe
-    decode.viterbi semantics: uniform prior, triangular transitions)."""
+def _viterbi_prep(probs: np.ndarray, width: int):
     trans = _transition_matrix(width)
     log_trans = np.log(trans + 1e-20)
     obs = probs / np.maximum(probs.sum(axis=1, keepdims=True), 1e-20)
     log_obs = np.log(obs + 1e-20)
+    return log_trans, log_obs
+
+
+def viterbi_path_dense(probs: np.ndarray, width: int = 12) -> np.ndarray:
+    """Reference formulation: full (from, to) scores each step. O(T*360^2)
+    host numpy — ~12 s for a 3-minute song; kept as the no-toolchain
+    fallback and as the oracle the banded C++ path is tested against."""
+    log_trans, log_obs = _viterbi_prep(probs, width)
     t_len = probs.shape[0]
     dp = np.full((t_len, PITCH_BINS), -np.inf)
     back = np.zeros((t_len, PITCH_BINS), np.int32)
@@ -106,6 +113,51 @@ def viterbi_path(probs: np.ndarray, width: int = 12) -> np.ndarray:
     path[-1] = int(np.argmax(dp[-1]))
     for t in range(t_len - 2, -1, -1):
         path[t] = back[t + 1, path[t + 1]]
+    return path
+
+
+def viterbi_path(probs: np.ndarray, width: int = 12) -> np.ndarray:
+    """(T, 360) observation probs -> most likely bin path (torchcrepe
+    decode.viterbi semantics: uniform prior, triangular transitions).
+
+    The triangular transition matrix is zero outside |from-to| < width and
+    the 1e-20 smoothing makes every out-of-band transition score exactly
+    log(1e-20), so the recursion runs banded in C++ (native/viterbi.cpp,
+    bit-identical to the dense formulation, ~60x faster) with the dense
+    numpy path as fallback."""
+    t_len = probs.shape[0]
+    if t_len == 0:
+        return np.zeros(0, np.int32)
+    try:
+        from ..native import viterbi_library
+
+        lib = viterbi_library()
+    except Exception:
+        return viterbi_path_dense(probs, width)
+
+    import ctypes
+
+    log_trans, log_obs = _viterbi_prep(probs, width)
+    half = width - 1  # strictly-positive transitions: |from-to| <= width-1
+    bw = 2 * half + 1
+    band = np.full((PITCH_BINS, bw), -np.inf)
+    j = np.arange(PITCH_BINS)
+    for d in range(-half, half + 1):
+        src = j + d
+        ok = (src >= 0) & (src < PITCH_BINS)
+        band[ok, d + half] = log_trans[src[ok], j[ok]]
+    log_obs = np.ascontiguousarray(log_obs, np.float64)
+    band = np.ascontiguousarray(band, np.float64)
+    path = np.zeros(t_len, np.int32)
+    lib.polgen_viterbi_banded(
+        log_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(t_len), ctypes.c_int32(PITCH_BINS),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(half),
+        ctypes.c_double(float(np.log(1e-20))),
+        ctypes.c_double(float(np.log(1.0 / PITCH_BINS))),
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
     return path
 
 

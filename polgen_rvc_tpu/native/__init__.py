@@ -47,6 +47,24 @@ def load_library(name: str, sources: list[str]) -> ctypes.CDLL:
         return _LIBS[name]
 
 
+def viterbi_library() -> ctypes.CDLL:
+    lib = load_library("polgen_viterbi", ["viterbi.cpp"])
+    if not getattr(lib, "_polgen_configured", False):
+        lib.polgen_viterbi_banded.restype = None
+        lib.polgen_viterbi_banded.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # log_obs (T, n_bins)
+            ctypes.c_int64,                   # T
+            ctypes.c_int32,                   # n_bins
+            ctypes.POINTER(ctypes.c_double),  # band (n_bins, 2*half+1)
+            ctypes.c_int32,                   # half
+            ctypes.c_double,                  # log_eps
+            ctypes.c_double,                  # log_init
+            ctypes.POINTER(ctypes.c_int32),   # path_out (T,)
+        ]
+        lib._polgen_configured = True
+    return lib
+
+
 def dsp_library() -> ctypes.CDLL:
     lib = load_library("polgen_dsp", ["dsp.cpp"])
     if not getattr(lib, "_polgen_configured", False):

@@ -1,0 +1,77 @@
+// Banded Viterbi decoder for the CREPE F0 path (models/crepe.py).
+//
+// The decode semantics mirror torchcrepe's librosa-style dense Viterbi
+// (reference pipeline.py:86-117 uses torchcrepe.predict(decoder=viterbi)):
+// triangular transition probabilities over 360 pitch bins, log(p + 1e-20)
+// smoothing.  The dense formulation is O(T * 360 * 360) and costs ~12 s of
+// host time for a 3-minute song; the transition matrix is zero outside
+// |from - to| < width, so the true-transition work is a 2*width-1 band.
+// Out-of-band transitions are NOT impossible under the 1e-20 smoothing —
+// they all score exactly log(1e-20), so their best candidate is the global
+// argmax of the previous row.  This keeps the banded recursion bit-identical
+// to the dense one (validated in tests/test_f0_methods.py) at
+// O(T * 360 * (2*width-1)).
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+extern "C" void polgen_viterbi_banded(
+    const double* log_obs,  // (T, n_bins) log(normalized obs + 1e-20)
+    int64_t t_len, int32_t n_bins,
+    const double* band,     // (n_bins, 2*half+1): band[j][d+half] =
+                            // log_trans[j+d][j], -inf where j+d invalid
+    int32_t half,
+    double log_eps,         // log(1e-20): every out-of-band transition
+    double log_init,        // log(1/n_bins) uniform prior
+    int32_t* path_out)      // (T,)
+{
+    if (t_len <= 0) return;
+    const int32_t bw = 2 * half + 1;
+    std::vector<double> dp_prev(n_bins), dp_cur(n_bins);
+    std::vector<int32_t> back((size_t)t_len * n_bins);
+
+    for (int32_t j = 0; j < n_bins; ++j)
+        dp_prev[j] = log_init + log_obs[j];
+
+    for (int64_t t = 1; t < t_len; ++t) {
+        // first-index global argmax of dp_prev (numpy argmax tie rule)
+        int32_t m = 0;
+        double vm = dp_prev[0];
+        for (int32_t i = 1; i < n_bins; ++i)
+            if (dp_prev[i] > vm) { vm = dp_prev[i]; m = i; }
+        const double eps_cand_base = vm + log_eps;
+
+        const double* obs_t = log_obs + (size_t)t * n_bins;
+        int32_t* back_t = back.data() + (size_t)t * n_bins;
+        for (int32_t j = 0; j < n_bins; ++j) {
+            const double* bj = band + (size_t)j * bw;
+            const int32_t lo = (j - half < 0) ? -j : -half;
+            const int32_t hi = (j + half >= n_bins) ? n_bins - 1 - j : half;
+            double best = dp_prev[j + lo] + bj[lo + half];
+            int32_t bi = j + lo;
+            for (int32_t d = lo + 1; d <= hi; ++d) {
+                const double s = dp_prev[j + d] + bj[d + half];
+                if (s > best) { best = s; bi = j + d; }
+            }
+            // out-of-band candidate: all such transitions score exactly
+            // log_eps, so the winner is the previous row's global argmax.
+            // On an exact tie the dense scan keeps the lower index.
+            if (eps_cand_base > best ||
+                (eps_cand_base == best && m < bi)) {
+                best = eps_cand_base;
+                bi = m;
+            }
+            dp_cur[j] = best + obs_t[j];
+            back_t[j] = bi;
+        }
+        dp_prev.swap(dp_cur);
+    }
+
+    int32_t m = 0;
+    double vm = dp_prev[0];
+    for (int32_t i = 1; i < n_bins; ++i)
+        if (dp_prev[i] > vm) { vm = dp_prev[i]; m = i; }
+    path_out[t_len - 1] = m;
+    for (int64_t t = t_len - 2; t >= 0; --t)
+        path_out[t] = back[(size_t)(t + 1) * n_bins + path_out[t + 1]];
+}

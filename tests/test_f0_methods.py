@@ -49,6 +49,26 @@ def test_viterbi_prefers_smooth_paths():
     assert f0.shape == (t,)
 
 
+def test_viterbi_banded_native_matches_dense(rng):
+    """native/viterbi.cpp must reproduce the dense numpy recursion exactly —
+    paths bit-identical, including masked-bin plateaus (all-tie frames) where
+    the out-of-band log(1e-20) 'teleport' transitions decide backpointers."""
+    from polgen_rvc_tpu.models.crepe import viterbi_path_dense
+
+    for trial in range(4):
+        t = 240
+        probs = rng.random((t, 360)) * 0.01
+        c = np.clip(100 + np.cumsum(rng.integers(-3, 4, t)), 0, 359)
+        probs[np.arange(t), c] = 0.9
+        probs[:, :40] = 0.0    # f0_min-style mask
+        probs[:, 300:] = 0.0   # f0_max-style mask
+        if trial % 2:
+            probs[80:100, :] = 0.0  # fully-masked frames: every bin ties
+        np.testing.assert_array_equal(
+            viterbi_path(probs), viterbi_path_dense(probs)
+        )
+
+
 def test_fcpe_mel_and_salience(rng):
     cfg, sd = make_fcpe_state(tiny=True, seed=0)
     params = convert_fcpe_state(sd, cfg)

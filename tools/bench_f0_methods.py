@@ -61,7 +61,9 @@ def main():
     ).astype(np.float32)
 
     n_runs = int(os.environ.get("BENCH_F0_RUNS", "3"))
-    for method in ("rmvpe+", "fcpe", "mangio-crepe"):
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    methods = tuple(wanted) or ("rmvpe+", "fcpe", "mangio-crepe")
+    for method in methods:
         opts = ConversionOptions(index_rate=0.5, protect=0.33,
                                  volume_envelope=0.25, f0_method=method)
         t0 = time.perf_counter()
