@@ -151,9 +151,13 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     seconds = 180.0 if on_tpu else 8.0  # CPU smoke mode for local runs
     _STATE["on_tpu"], _STATE["seconds"] = on_tpu, seconds
+    # chunk_batch=2 measured 108.4x vs 104.9x at cb=1 (round 4, clean
+    # best-of-4 via tools/bench_chunk_batch.py) and runs tighter run-to-run:
+    # two chunks per decoder pass halve per-dispatch overhead and the
+    # per-batch buckets (round-4 rebucketing) keep the pad tax low
     eng = (
         EngineConfig(x_pad=1, x_query=6, x_center=30, x_max=32,
-                     chunk_batch=1, bucket_step_s=4,
+                     chunk_batch=2, bucket_step_s=4,
                      compute_dtype="bfloat16")
         if on_tpu
         else EngineConfig(x_pad=1, x_query=2, x_center=3, x_max=4,

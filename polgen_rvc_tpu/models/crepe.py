@@ -60,6 +60,30 @@ def crepe_frames(audio, hop_length: int):
     return (frames - mean) / std
 
 
+def crepe_salience_window(params, audio_i16, inv_scale, start_frame, hop,
+                          n_frames: int, cfg: CrepeConfig = CrepeConfig()):
+    """Salience for frames [start_frame, start_frame + n_frames) computed
+    straight from the pipeline's shared (1, S) int16 audio upload: framing
+    (torchcrepe pad=True geometry — window//2 zero pad, frame at every
+    hop), per-frame normalization, and the conv stack in ONE graph, so no
+    (N, 1024) frame tensor ever crosses the host link (74 MB/3-min song).
+    start_frame and hop are dynamic scalars: one compiled graph per audio
+    bucket covers every batch, song length, and hop setting.
+
+    The reference's 0.999-quantile pre-scaling (pipeline.py:94-97) cancels
+    exactly under the per-frame mean/std normalization and is skipped."""
+    x = audio_i16[0].astype(jnp.float32) * inv_scale
+    pos = (
+        (start_frame + jnp.arange(n_frames))[:, None] * hop
+        - WINDOW_SIZE // 2
+        + jnp.arange(WINDOW_SIZE)[None, :]
+    )
+    frames = jnp.take(x, pos, mode="fill", fill_value=0.0)  # (n, 1024)
+    mean = jnp.mean(frames, axis=-1, keepdims=True)
+    std = jnp.maximum(jnp.std(frames, axis=-1, keepdims=True), 1e-10)
+    return crepe_salience(params, (frames - mean) / std, cfg)
+
+
 def crepe_salience(params, frames, cfg: CrepeConfig = CrepeConfig()):
     """(B*, 1024) normalized frames -> (B*, 360) sigmoid salience."""
     x = frames[:, None, :, None]  # (N, 1, 1024, 1)

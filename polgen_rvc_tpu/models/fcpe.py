@@ -84,12 +84,23 @@ def _layer_norm(x, p, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["gamma"].astype(x.dtype) + p["beta"].astype(x.dtype)
 
 
-def _group_norm_channels(x, gamma, beta, groups, eps=1e-5):
-    """GroupNorm on (B, C, T)."""
+def _group_norm_channels(x, gamma, beta, groups, eps=1e-5, nmask=None,
+                         n_valid=None):
+    """GroupNorm on (B, C, T). With nmask/n_valid, the statistics run over
+    the first n_valid frames only (the reference normalizes an unpadded
+    (B, C, n) tensor; frames beyond n_valid are bucket padding here and
+    must not pollute mean/var)."""
     b, c, t = x.shape
     xg = x.reshape(b, groups, c // groups, t)
-    mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
-    var = jnp.var(xg, axis=(2, 3), keepdims=True)
+    if nmask is None:
+        mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
+        var = jnp.var(xg, axis=(2, 3), keepdims=True)
+    else:
+        m = nmask.astype(x.dtype)[None, None, None, :]
+        cnt = (c // groups) * jnp.maximum(n_valid, 1).astype(x.dtype)
+        mean = jnp.sum(xg * m, axis=(2, 3), keepdims=True) / cnt
+        xc = (xg - mean) * m
+        var = jnp.sum(xc * xc, axis=(2, 3), keepdims=True) / cnt
     x = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, t)
     return x * gamma.astype(x.dtype)[None, :, None] + beta.astype(x.dtype)[None, :, None]
 
@@ -120,7 +131,7 @@ def _linear_attention(q, k, v):
     return jnp.einsum("bhde,bhnd,bhn->bhne", context, q, d_inv)
 
 
-def _self_attention(x, p, n_heads: int):
+def _self_attention(x, p, n_heads: int, nmask=None):
     b, n, c = x.shape
     # reference SelfAttention uses a FIXED dim_head=64 (inner = 512) no
     # matter the model width (FCPE.py:443-465) — infer inner from the
@@ -136,12 +147,19 @@ def _self_attention(x, p, n_heads: int):
     proj_mat = p["projection_matrix"].astype(x.dtype)
     q = _softmax_kernel(q, proj_mat, is_query=True)
     k = _softmax_kernel(k, proj_mat, is_query=False)
+    if nmask is not None:
+        # the FAVOR+ sums run over every frame; zero the bucket-padding
+        # frames' key features and values so they contribute exact 0s
+        # (the feature map's +eps makes them nonzero otherwise)
+        m = nmask.astype(k.dtype)[None, None, :, None]
+        k = k * m
+        v = v * m
     out = _linear_attention(q, k, v)
     out = out.swapaxes(1, 2).reshape(b, n, inner)
     return out @ p["to_out"]["w"].astype(x.dtype) + p["to_out"]["b"].astype(x.dtype)
 
 
-def _conformer_conv(x, p):
+def _conformer_conv(x, p, nmask=None):
     """ConformerConvModule (FCPE.py:312-336): LN -> 1x1 conv -> GLU ->
     depthwise k31 -> swish -> 1x1 conv."""
     y = _layer_norm(x, p["norm"])
@@ -149,6 +167,10 @@ def _conformer_conv(x, p):
     y = conv1d(y, p["conv_in"]["w"], p["conv_in"]["b"])
     a, g = jnp.split(y, 2, axis=1)
     y = a * jax.nn.sigmoid(g)
+    if nmask is not None:
+        # the depthwise k31 window crosses the n_valid boundary; the
+        # reference sees zero 'same' padding there, not bucket-pad junk
+        y = y * nmask.astype(y.dtype)[None, None, :]
     y = conv1d(y, p["depthwise"]["w"], p["depthwise"]["b"],
                padding=15, groups=y.shape[1])
     y = y * jax.nn.sigmoid(y)  # swish
@@ -156,19 +178,37 @@ def _conformer_conv(x, p):
     return y.swapaxes(1, 2)
 
 
-def fcpe_salience(params, cfg: FcpeConfig, mel):
-    """(B, N, mels) -> (B, N, 360) sigmoid salience (FCPE.forward, infer)."""
+def fcpe_salience(params, cfg: FcpeConfig, mel, n_valid=None):
+    """(B, N, mels) -> (B, N, 360) sigmoid salience (FCPE.forward, infer).
+
+    With n_valid (scalar, frames of real signal), every frame-global op —
+    GroupNorm statistics, the FAVOR+ attention sums, and each conv's
+    receptive field at the boundary — behaves exactly as if the input were
+    the unpadded (B, n_valid, mels) tensor the reference processes: frames
+    [0, n_valid) match a true-length run to float rounding, however much
+    bucket padding follows. Frames beyond n_valid are garbage (callers
+    slice or resize them away)."""
+    nmask = None
+    if n_valid is not None:
+        nmask = jnp.arange(mel.shape[1]) < n_valid
+        mel = jnp.where(nmask[None, :, None], mel, 0.0)
     x = mel.swapaxes(1, 2)
     st = params["stack"]
     x = conv1d(x, st["conv1"]["w"], st["conv1"]["b"], padding=1)
-    x = _group_norm_channels(x, st["gn"]["gamma"], st["gn"]["beta"], groups=4)
+    x = _group_norm_channels(x, st["gn"]["gamma"], st["gn"]["beta"], groups=4,
+                             nmask=nmask, n_valid=n_valid)
     x = jax.nn.leaky_relu(x, 0.01)
+    if nmask is not None:
+        # GN shifts the padded frames off zero; conv2's k=3 window at the
+        # boundary must read the reference's zero 'same' padding
+        x = x * nmask.astype(x.dtype)[None, None, :]
     x = conv1d(x, st["conv2"]["w"], st["conv2"]["b"], padding=1)
     x = x.swapaxes(1, 2)  # (B, N, C)
 
     for lp in params["layers"]:
-        x = x + _self_attention(_layer_norm(x, lp["norm"]), lp["attn"], cfg.n_heads)
-        x = x + _conformer_conv(x, lp["conformer"])
+        x = x + _self_attention(_layer_norm(x, lp["norm"]), lp["attn"],
+                                cfg.n_heads, nmask)
+        x = x + _conformer_conv(x, lp["conformer"], nmask)
 
     x = _layer_norm(x, params["norm"])
     x = x @ params["dense_out"]["w"].astype(x.dtype) + params["dense_out"]["b"].astype(x.dtype)
@@ -189,6 +229,36 @@ def fcpe_decode(salience, cfg: FcpeConfig, threshold: float = 0.03):
     )
     f0 = 10.0 * (2.0 ** (cents / 1200.0))
     return jnp.where(confident > threshold, f0, 0.0)
+
+
+def fcpe_resize_fill(f0, n, p_len):
+    """Device mirror of fcpe_post_process for the fused F0 graph: nearest-
+    resize from n frames to p_len, then linear interpolation across
+    unvoiced (zero) gaps with edge hold — all static-shaped, so the graph
+    key is independent of song length (n/p_len travel as scalars).
+
+    The nearest-resize index uses exact integer floor((i*n)/p_len); the
+    host/reference formulation truncates i*(n/p_len) in float, which can
+    pick the neighbouring frame when i*(n/p_len) rounds across an integer.
+    With hop == window the resize is near-identity, so the tracks agree
+    except at isolated boundary frames (pinned by tests/test_f0_methods)."""
+    size = f0.shape[0]
+    i = jnp.arange(size)
+    nf = jnp.maximum(n, 1)
+    src = jnp.clip((i * nf) // jnp.maximum(p_len, 1), 0, nf - 1)
+    f0r = f0[src]
+    valid = (i < p_len) & (f0r > 0)
+    prev = jax.lax.cummax(jnp.where(valid, i, -1))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(valid, i, size))))
+    vprev = f0r[jnp.clip(prev, 0, size - 1)]
+    vnext = f0r[jnp.clip(nxt, 0, size - 1)]
+    w = (i - prev).astype(jnp.float32) / jnp.maximum(nxt - prev, 1).astype(
+        jnp.float32
+    )
+    out = vprev + (vnext - vprev) * w
+    out = jnp.where(prev < 0, vnext, jnp.where(nxt >= size, vprev, out))
+    out = jnp.where(jnp.any(valid), out, 0.0)
+    return jnp.where(i < p_len, out, 0.0)
 
 
 def fcpe_post_process(f0: np.ndarray, p_len: int, hop: int, sr: int) -> np.ndarray:

@@ -1,6 +1,8 @@
 """"mangio-crepe" F0 method glue (reference VC.get_f0_crepe,
-pipeline.py:86-117): quantile-normalize, CREPE-full salience at the user
-hop_length, Viterbi decode, nan-gate + length interpolation."""
+pipeline.py:86-117): CREPE-full salience at the user hop_length, Viterbi
+decode, nan-gate + length interpolation. (The reference's 0.999-quantile
+pre-scaling cancels under CREPE's per-frame normalization — see
+crepe_salience_window.)"""
 
 from __future__ import annotations
 
@@ -8,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.crepe import crepe_f0_decode, crepe_frames, crepe_salience
+from ..models.crepe import crepe_f0_decode
 
 # Per-dispatch frame batch. CREPE's first conv expands every 1024-sample
 # frame to (1024 ch x 256 h) ~ 0.5 MB of bf16 temp PER FRAME, so a whole
@@ -19,29 +21,27 @@ from ..models.crepe import crepe_f0_decode, crepe_frames, crepe_salience
 _FRAME_BUCKET = 2048
 
 
-def crepe_f0(vc, audio: np.ndarray, p_len: int, opts) -> np.ndarray:
+def crepe_f0(vc, audio: np.ndarray, p_len: int, opts, uploaded=None) -> np.ndarray:
     if vc.crepe_params is None:
         raise RuntimeError(
             "crepe weights not loaded (assets/predictors/crepe_full.pth)"
         )
-    x = audio.astype(np.float32)
-    denom = np.quantile(np.abs(x), 0.999)
-    if denom > 0:
-        x = x / denom
     hop = int(opts.hop_length)
-
-    frames = np.asarray(crepe_frames(jnp.asarray(x)[None], hop))[0]  # (N, 1024)
-    n = frames.shape[0]
+    # framing + salience read the pipeline's shared int16 upload in-graph:
+    # nothing larger than the (2048, 360) salience slabs crosses the link
+    audio_dev, inv_scale, t = uploaded or vc._upload_audio(audio)
+    n = t // hop + 1
     padded = int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET
-    frames = np.pad(frames, ((0, padded - n), (0, 0)))
 
-    fn = vc._crepe_fn(_FRAME_BUCKET)
+    fn = vc._crepe_fn(int(audio_dev.shape[1]))
     # dispatch every batch before fetching any: JAX dispatch is async, so
     # the device pipelines batch k+1's compute under batch k's D2H copy
     outs = [
-        fn(vc.crepe_params, jnp.asarray(frames[i : i + _FRAME_BUCKET]))
-        for i in range(0, padded, _FRAME_BUCKET)
+        fn(vc.crepe_params, audio_dev, inv_scale, jnp.int32(start),
+           jnp.int32(hop))
+        for start in range(0, padded, _FRAME_BUCKET)
     ]
+    vc._start_host_copy(*outs)
     salience = np.concatenate([np.asarray(o) for o in outs])[:n]
 
     f0 = crepe_f0_decode(salience, f0_min=opts.f0_min, f0_max=opts.f0_max)

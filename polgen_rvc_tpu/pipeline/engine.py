@@ -444,11 +444,17 @@ class VoiceConverter(F0DispatchMixin, OutputPathMixin, BatchCoverMixin):
         tasks = []
         devf0_frames = None
         pitch_dev = pitchf_dev = None
-        devf0_wanted = (
+        devf0_rmvpe = (
             use_f0 and opts.f0_method in ("rmvpe+", "rmvpe")
             and not opts.f0_file and self.rmvpe_params is not None
         )
-        if devf0_wanted:
+        devf0_fcpe = (
+            use_f0 and opts.f0_method == "fcpe" and not opts.f0_file
+            and self.fcpe_params is not None and self.fcpe_cfg is not None
+            and self.fcpe_cfg.hop_size == eng.window
+        )
+        devf0_wanted = devf0_rmvpe or devf0_fcpe
+        if devf0_rmvpe:
             # the F0 graph is itself one of the heavy loads: dispatch it
             # from the pool like the chunk graphs. Its (1, P) output shape
             # keys the chunk graphs (devf0_frames), so get P by abstract
@@ -467,6 +473,19 @@ class VoiceConverter(F0DispatchMixin, OutputPathMixin, BatchCoverMixin):
                                              uploaded)[:3],
                 None,
             ))
+        elif devf0_fcpe:
+            # the fused fcpe graph emits (1, bucket//hop + 1) — same shape
+            # family as rmvpe, so the chunk graphs are shared between the
+            # two methods
+            devf0_frames = (
+                int(audio_buf.shape[1]) // self.fcpe_cfg.hop_size + 1
+            )
+            tasks.append((
+                lambda: self._fcpe_dispatch_device(
+                    plan.padded_audio, p_len_full, opts, uploaded
+                ),
+                None,
+            ))
             # shape/dtype/placement stand-ins for the chunk graphs' pitch
             # rows (values are irrelevant to compilation)
             pitch_dev = jnp.ones((1, devf0_frames), jnp.int32)
@@ -480,7 +499,8 @@ class VoiceConverter(F0DispatchMixin, OutputPathMixin, BatchCoverMixin):
             # only need SHAPE-correct pitch rows, which _assemble_rows
             # produces without real F0 values.
             tasks.append((
-                lambda: self.compute_f0(plan.padded_audio, p_len_full, opts),
+                lambda: self.compute_f0(plan.padded_audio, p_len_full, opts,
+                                        uploaded),
                 None,
             ))
 
@@ -621,7 +641,7 @@ class VoiceConverter(F0DispatchMixin, OutputPathMixin, BatchCoverMixin):
                     pitchf_dev = replicate(pitchf_dev, self.mesh)
             else:
                 pitch_full, pitchf_full = self.compute_f0(
-                    plan.padded_audio, p_len_full, opts
+                    plan.padded_audio, p_len_full, opts, uploaded
                 )
 
         use_index = self.index_bank is not None and opts.index_rate > 0

@@ -31,14 +31,67 @@ def coarse_f0_np(f0, f0_min=50.0, f0_max=1100.0):
 class F0DispatchMixin:
     """F0 half of VoiceConverter (engine.py hosts the converter class)."""
 
-    def _crepe_fn(self, bucket: int):
-        if bucket not in self._crepe_fns:
-            from ..models.crepe import crepe_salience
+    def _crepe_fn(self, samples_bucket: int):
+        """Fused framing + salience over the shared int16 upload, keyed on
+        the audio bucket only (start/hop travel as dynamic scalars)."""
+        if samples_bucket not in self._crepe_fns:
+            from ..models.crepe import crepe_salience_window
+            from .crepe_method import _FRAME_BUCKET
 
-            self._crepe_fns[bucket] = jax.jit(
-                lambda params, frames: crepe_salience(params, frames)
+            self._crepe_fns[samples_bucket] = jax.jit(
+                lambda params, audio_i16, inv_scale, start, hop:
+                crepe_salience_window(
+                    params, audio_i16, inv_scale, start, hop, _FRAME_BUCKET
+                )
             )
-        return self._crepe_fns[bucket]
+        return self._crepe_fns[samples_bucket]
+
+    def _fcpe_dev_fn(self, samples_bucket: int, f0_min: float, f0_max: float):
+        """Fused device-resident FCPE F0: mel + conformer salience + cents
+        decode + resize/gap-fill + pitch shift + coarse quantization in ONE
+        graph over the shared int16 upload — the fcpe analog of _f0_fn, so
+        chunk graphs slice (pitch, pitchf) on device with no host round
+        trip (and share the rmvpe+ chunk-graph cache: both emit
+        (1, bucket//160 + 1))."""
+        key = ("dev", samples_bucket, float(f0_min), float(f0_max))
+        if key not in self._fcpe_fns:
+            from ..models.fcpe import (
+                fcpe_decode, fcpe_mel, fcpe_resize_fill, fcpe_salience,
+            )
+
+            cfg = self.fcpe_cfg
+
+            @jax.jit
+            def fn(params, audio_i16, inv_scale, t_valid, p_len, threshold,
+                   shift_factor):
+                audio = audio_i16.astype(jnp.float32) * inv_scale
+                mel = fcpe_mel(audio, cfg)  # (1, bucket//hop + 1, mels)
+                n = t_valid // cfg.hop_size + 1
+                # n_valid: frame-global ops (GroupNorm stats, FAVOR+ sums)
+                # see exactly the reference's unpadded tensor; frames past
+                # n are garbage the resize never reads
+                sal = fcpe_salience(params, cfg, mel, n_valid=n)
+                f0 = fcpe_decode(sal, cfg, threshold)[0]
+                f0 = fcpe_resize_fill(f0, n, p_len)
+                pitchf = f0 * shift_factor
+                pitch = coarse_f0(pitchf, f0_min, f0_max)
+                return pitch[None], pitchf[None]
+
+            self._fcpe_fns[key] = fn
+        return self._fcpe_fns[key]
+
+    def _fcpe_dispatch_device(self, audio: np.ndarray, p_len: int,
+                              opts: ConversionOptions, uploaded=None):
+        """Dispatch the fused FCPE graph; returns (pitch, pitchf) as
+        UNfetched (1, P) device arrays — nothing synchronizes."""
+        audio_dev, inv_scale, t = uploaded or self._upload_audio(audio)
+        shift = np.float32(2.0 ** (opts.pitch / 12.0))
+        return self._fcpe_dev_fn(
+            int(audio_dev.shape[1]), opts.f0_min, opts.f0_max
+        )(
+            self.fcpe_params, audio_dev, inv_scale, jnp.int32(t),
+            jnp.int32(p_len), 0.03, shift,
+        )
 
     # ------------------------------------------------------------------
     # F0 (full-signal, reference get_f0 semantics)
@@ -88,14 +141,15 @@ class F0DispatchMixin:
         return self._f0_fns[key]
 
     def compute_f0(self, audio_pad: np.ndarray, p_len: int,
-                   opts: ConversionOptions) -> tuple[np.ndarray, np.ndarray]:
+                   opts: ConversionOptions,
+                   uploaded=None) -> tuple[np.ndarray, np.ndarray]:
         """(coarse pitch int32 (p_len,), pitchf float32 (p_len,))."""
         if opts.f0_method in ("rmvpe+", "rmvpe"):
-            f0 = self._rmvpe_f0(audio_pad, opts)
+            f0 = self._rmvpe_f0(audio_pad, opts, uploaded)
         elif opts.f0_method == "mangio-crepe":
             from .crepe_method import crepe_f0
 
-            f0 = crepe_f0(self, audio_pad, p_len, opts)
+            f0 = crepe_f0(self, audio_pad, p_len, opts, uploaded)
         elif opts.f0_method == "fcpe":
             from .fcpe_method import fcpe_f0
 
@@ -150,8 +204,9 @@ class F0DispatchMixin:
         )
         return f0_raw, pitch, pitchf, n
 
-    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions) -> np.ndarray:
-        f0_raw, _, _, n = self._rmvpe_dispatch(audio, opts)
+    def _rmvpe_f0(self, audio: np.ndarray, opts: ConversionOptions,
+                  uploaded=None) -> np.ndarray:
+        f0_raw, _, _, n = self._rmvpe_dispatch(audio, opts, uploaded)
         f0 = np.array(f0_raw[0, :n])  # copy: jax buffers are read-only
         # "rmvpe+": zero outside [f0_min, f0_max] (RMVPE.py:487-496)
         f0[(f0 < opts.f0_min) | (f0 > opts.f0_max)] = 0.0
@@ -159,16 +214,34 @@ class F0DispatchMixin:
 
     def compute_f0_device(self, audio_pad: np.ndarray, p_len: int,
                           opts: ConversionOptions, uploaded=None):
-        """Device-resident F0: dispatch the fused rmvpe graph and return
-        (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk graphs
-        consume them without a host synchronization. Returns None when the
-        method or an f0-file override requires the host path."""
-        if opts.f0_method not in ("rmvpe+", "rmvpe") or opts.f0_file:
+        """Device-resident F0: dispatch the fused rmvpe (or fcpe) graph and
+        return (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk
+        graphs consume them without a host synchronization. Returns None
+        when the method or an f0-file override requires the host path.
+
+        The fcpe device path reads the shared int16 upload (the host path
+        reads the float signal directly) and its bucket tail is zero-padded
+        rather than reflect-padded, so its last ~win/hop mel frames can
+        differ from the host path — those frames lie inside the x_pad
+        region the output trim discards."""
+        if opts.f0_file:
             return None
-        _, pitch, pitchf, n = self._rmvpe_dispatch(audio_pad, opts, uploaded)
-        if n < p_len:  # cannot happen (n = t//160 + 1 >= t//window), but
-            return None  # fall back rather than mis-slice
-        return pitch, pitchf  # (1, P) device arrays, unfetched
+        if opts.f0_method in ("rmvpe+", "rmvpe"):
+            _, pitch, pitchf, n = self._rmvpe_dispatch(
+                audio_pad, opts, uploaded
+            )
+            if n < p_len:  # cannot happen (n = t//160+1 >= t//window), but
+                return None  # fall back rather than mis-slice
+            return pitch, pitchf  # (1, P) device arrays, unfetched
+        if (
+            opts.f0_method == "fcpe"
+            and self.fcpe_params is not None
+            and self.fcpe_cfg is not None
+            and self.fcpe_cfg.hop_size == self.engine.window
+        ):
+            return self._fcpe_dispatch_device(audio_pad, p_len, opts,
+                                              uploaded)
+        return None
 
     def _apply_f0_file(self, f0: np.ndarray, path: str) -> np.ndarray:
         """Reference f0-file override (pipeline.py:185-191, 351-360)."""

@@ -23,12 +23,17 @@ def fcpe_f0(vc, audio: np.ndarray, p_len: int, opts) -> np.ndarray:
 
     if bucket not in vc._fcpe_fns:
         @jax.jit
-        def fn(params, m, threshold):
-            sal = fcpe_salience(params, cfg, m)
+        def fn(params, m, n_valid, threshold):
+            # n_valid keeps the frame-global ops (GroupNorm stats, FAVOR+
+            # sums) blind to the bucket padding: frames [0, n) equal a
+            # true-length (reference) run regardless of bucket size
+            sal = fcpe_salience(params, cfg, m, n_valid=n_valid)
             return fcpe_decode(sal, cfg, threshold)
 
         vc._fcpe_fns[bucket] = fn
-    f0 = np.array(vc._fcpe_fns[bucket](vc.fcpe_params, mel, 0.03)[0, :n])
+    f0 = np.array(
+        vc._fcpe_fns[bucket](vc.fcpe_params, mel, jnp.int32(n), 0.03)[0, :n]
+    )
 
     if not np.any(f0 > 0):
         return np.zeros(p_len, np.float32)

@@ -69,6 +69,62 @@ def test_viterbi_banded_native_matches_dense(rng):
         )
 
 
+def test_fcpe_salience_mask_invariant(rng):
+    """fcpe_salience(n_valid=n) on a bucket-padded mel must equal the
+    true-length run on frames [0, n): GroupNorm stats, FAVOR+ sums, and
+    boundary conv windows all see the reference's unpadded tensor."""
+    cfg, sd = make_fcpe_state(tiny=True, seed=0)
+    params = convert_fcpe_state(sd, cfg)
+    mel = (rng.standard_normal((1, 96, cfg.input_channel)) * 0.5).astype(
+        np.float32
+    )
+    full = np.asarray(fcpe_salience(params, cfg, jnp.asarray(mel)))
+    junk = rng.standard_normal((1, 64, cfg.input_channel)).astype(np.float32)
+    padded = np.concatenate([mel, junk], axis=1)
+    masked = np.asarray(
+        fcpe_salience(params, cfg, jnp.asarray(padded), n_valid=jnp.int32(96))
+    )
+    np.testing.assert_allclose(masked[:, :96], full, atol=2e-5)
+
+
+def test_fcpe_device_path_matches_host(rng):
+    """The fused device-resident FCPE graph (mel + salience + decode +
+    resize/gap-fill + shift + coarse in one jit) must track the host glue:
+    identical except for int16-upload quantization (-96 dB) and the
+    zero-vs-reflect padded bucket tail (frames inside the trimmed x_pad)."""
+    from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    vc = build_synthetic_converter(
+        tiny=True, sr=48000,
+        engine=EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8,
+                            chunk_batch=1, bucket_step_s=2),
+        with_fcpe=True,
+    )
+    t = np.arange(16000 * 3) / 16000
+    audio = (0.4 * np.sin(2 * np.pi * 220 * (1 + 0.01 * np.sin(2 * np.pi * 5 * t)) * t)
+             ).astype(np.float32)
+    opts = ConversionOptions(f0_method="fcpe", pitch=2)
+    _, uploaded, _, plan = vc._upload_preamble(audio)
+    p_len = plan.padded_audio.shape[0] // vc.engine.window
+
+    dev = vc.compute_f0_device(plan.padded_audio, p_len, opts, uploaded)
+    assert dev is not None, "fcpe device path did not engage"
+    pitch_d = np.asarray(dev[0])[0, :p_len]
+    pitchf_d = np.asarray(dev[1])[0, :p_len]
+    pitch_h, pitchf_h = vc.compute_f0(plan.padded_audio, p_len, opts)
+
+    # compare away from the bucket tail (inside p_len everything is real
+    # signal; the last ~win/hop frames see zero- vs reflect-padding)
+    n_cmp = p_len - 10
+    rel = np.abs(pitchf_d[:n_cmp] - pitchf_h[:n_cmp]) / np.maximum(
+        np.abs(pitchf_h[:n_cmp]), 1.0
+    )
+    assert np.median(rel) < 1e-4
+    assert np.mean(rel < 1e-2) > 0.95, f"fcpe device/host diverge: {rel.max()}"
+    assert np.mean(pitch_d[:n_cmp] == pitch_h[:n_cmp]) > 0.95
+
+
 def test_fcpe_mel_and_salience(rng):
     cfg, sd = make_fcpe_state(tiny=True, seed=0)
     params = convert_fcpe_state(sd, cfg)
