@@ -161,20 +161,18 @@ def viterbi_path(probs: np.ndarray, width: int = 12) -> np.ndarray:
 
     import ctypes
 
-    log_trans, log_obs = _viterbi_prep(probs, width)
     half = width - 1  # strictly-positive transitions: |from-to| <= width-1
     bw = 2 * half + 1
+    log_trans = np.log(_transition_matrix(width) + 1e-20)
     band = np.full((PITCH_BINS, bw), -np.inf)
     j = np.arange(PITCH_BINS)
     for d in range(-half, half + 1):
         src = j + d
         ok = (src >= 0) & (src < PITCH_BINS)
         band[ok, d + half] = log_trans[src[ok], j[ok]]
-    log_obs = np.ascontiguousarray(log_obs, np.float64)
     band = np.ascontiguousarray(band, np.float64)
     path = np.zeros(t_len, np.int32)
-    lib.polgen_viterbi_banded(
-        log_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    common = (
         ctypes.c_int64(t_len), ctypes.c_int32(PITCH_BINS),
         band.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int32(half),
@@ -182,6 +180,20 @@ def viterbi_path(probs: np.ndarray, width: int = 12) -> np.ndarray:
         ctypes.c_double(float(np.log(1.0 / PITCH_BINS))),
         path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    p32 = np.ascontiguousarray(probs, np.float32)
+    if np.array_equal(p32.astype(np.float64), np.asarray(probs, np.float64)):
+        # float32-exact input (the production case: salience IS float32):
+        # normalize + log run inline in C++, skipping the (T, 360) float64
+        # log-obs materialization (~0.3 s/3-min song of host numpy)
+        lib.polgen_viterbi_banded_probs(
+            p32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *common
+        )
+    else:
+        _, log_obs = _viterbi_prep(probs, width)
+        log_obs = np.ascontiguousarray(log_obs, np.float64)
+        lib.polgen_viterbi_banded(
+            log_obs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), *common
+        )
     return path
 
 

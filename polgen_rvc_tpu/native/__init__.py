@@ -50,9 +50,7 @@ def load_library(name: str, sources: list[str]) -> ctypes.CDLL:
 def viterbi_library() -> ctypes.CDLL:
     lib = load_library("polgen_viterbi", ["viterbi.cpp"])
     if not getattr(lib, "_polgen_configured", False):
-        lib.polgen_viterbi_banded.restype = None
-        lib.polgen_viterbi_banded.argtypes = [
-            ctypes.POINTER(ctypes.c_double),  # log_obs (T, n_bins)
+        common = [
             ctypes.c_int64,                   # T
             ctypes.c_int32,                   # n_bins
             ctypes.POINTER(ctypes.c_double),  # band (n_bins, 2*half+1)
@@ -61,6 +59,14 @@ def viterbi_library() -> ctypes.CDLL:
             ctypes.c_double,                  # log_init
             ctypes.POINTER(ctypes.c_int32),   # path_out (T,)
         ]
+        lib.polgen_viterbi_banded.restype = None
+        lib.polgen_viterbi_banded.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # log_obs (T, n_bins)
+        ] + common
+        lib.polgen_viterbi_banded_probs.restype = None
+        lib.polgen_viterbi_banded_probs.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # probs (T, n_bins)
+        ] + common
         lib._polgen_configured = True
     return lib
 

@@ -15,23 +15,23 @@
 #include <cstdint>
 #include <vector>
 
-extern "C" void polgen_viterbi_banded(
-    const double* log_obs,  // (T, n_bins) log(normalized obs + 1e-20)
-    int64_t t_len, int32_t n_bins,
-    const double* band,     // (n_bins, 2*half+1): band[j][d+half] =
-                            // log_trans[j+d][j], -inf where j+d invalid
-    int32_t half,
-    double log_eps,         // log(1e-20): every out-of-band transition
-    double log_init,        // log(1/n_bins) uniform prior
-    int32_t* path_out)      // (T,)
-{
+namespace {
+
+// One Viterbi step + backtrace over rows served by `obs_row(t)`.
+template <typename ObsRow>
+void viterbi_core(ObsRow obs_row, int64_t t_len, int32_t n_bins,
+                  const double* band, int32_t half,
+                  double log_eps, double log_init, int32_t* path_out) {
     if (t_len <= 0) return;
     const int32_t bw = 2 * half + 1;
     std::vector<double> dp_prev(n_bins), dp_cur(n_bins);
     std::vector<int32_t> back((size_t)t_len * n_bins);
 
-    for (int32_t j = 0; j < n_bins; ++j)
-        dp_prev[j] = log_init + log_obs[j];
+    {
+        const double* obs0 = obs_row(0);
+        for (int32_t j = 0; j < n_bins; ++j)
+            dp_prev[j] = log_init + obs0[j];
+    }
 
     for (int64_t t = 1; t < t_len; ++t) {
         // first-index global argmax of dp_prev (numpy argmax tie rule)
@@ -41,7 +41,7 @@ extern "C" void polgen_viterbi_banded(
             if (dp_prev[i] > vm) { vm = dp_prev[i]; m = i; }
         const double eps_cand_base = vm + log_eps;
 
-        const double* obs_t = log_obs + (size_t)t * n_bins;
+        const double* obs_t = obs_row(t);
         int32_t* back_t = back.data() + (size_t)t * n_bins;
         for (int32_t j = 0; j < n_bins; ++j) {
             const double* bj = band + (size_t)j * bw;
@@ -74,4 +74,60 @@ extern "C" void polgen_viterbi_banded(
     path_out[t_len - 1] = m;
     for (int64_t t = t_len - 2; t >= 0; --t)
         path_out[t] = back[(size_t)(t + 1) * n_bins + path_out[t + 1]];
+}
+
+}  // namespace
+
+extern "C" void polgen_viterbi_banded(
+    const double* log_obs,  // (T, n_bins) log(normalized obs + 1e-20)
+    int64_t t_len, int32_t n_bins,
+    const double* band,     // (n_bins, 2*half+1): band[j][d+half] =
+                            // log_trans[j+d][j], -inf where j+d invalid
+    int32_t half,
+    double log_eps,         // log(1e-20): every out-of-band transition
+    double log_init,        // log(1/n_bins) uniform prior
+    int32_t* path_out)      // (T,)
+{
+    viterbi_core(
+        [&](int64_t t) { return log_obs + (size_t)t * n_bins; },
+        t_len, n_bins, band, half, log_eps, log_init, path_out);
+}
+
+// Same recursion on raw float32 salience: the observation normalization
+// (obs = probs / max(rowsum, 1e-20); log(obs + 1e-20)) happens inline per
+// timestep, saving the (T, 360) float64 log-obs materialization (~0.3 s
+// of host numpy per 3-minute song). Row sums use pairwise summation so
+// the values match numpy's probs.sum(axis=1) bit-for-bit.
+extern "C" void polgen_viterbi_banded_probs(
+    const float* probs,     // (T, n_bins) masked salience, >= 0
+    int64_t t_len, int32_t n_bins,
+    const double* band, int32_t half,
+    double log_eps, double log_init,
+    int32_t* path_out)
+{
+    std::vector<double> row(n_bins);
+    // numpy float64 pairwise sum (unrolled-by-8 base case like numpy's):
+    // needed so obs matches probs.astype(f64).sum(axis=1) exactly
+    struct Pairwise {
+        static double sum(const double* a, int32_t n) {
+            if (n <= 8) {
+                double s = 0.0;
+                for (int32_t i = 0; i < n; ++i) s += a[i];
+                return s;
+            }
+            const int32_t h = n / 2;
+            return sum(a, h) + sum(a + h, n - h);
+        }
+    };
+    viterbi_core(
+        [&](int64_t t) {
+            const float* p = probs + (size_t)t * n_bins;
+            for (int32_t j = 0; j < n_bins; ++j) row[j] = (double)p[j];
+            double s = Pairwise::sum(row.data(), n_bins);
+            if (s < 1e-20) s = 1e-20;
+            for (int32_t j = 0; j < n_bins; ++j)
+                row[j] = std::log(row[j] / s + 1e-20);
+            return row.data();
+        },
+        t_len, n_bins, band, half, log_eps, log_init, path_out);
 }

@@ -67,6 +67,12 @@ def test_viterbi_banded_native_matches_dense(rng):
         np.testing.assert_array_equal(
             viterbi_path(probs), viterbi_path_dense(probs)
         )
+        # float32-exact values route through the inline-normalization C++
+        # entry (polgen_viterbi_banded_probs) — same contract
+        p32 = probs.astype(np.float32).astype(np.float64)
+        np.testing.assert_array_equal(
+            viterbi_path(p32), viterbi_path_dense(p32)
+        )
 
 
 def test_fcpe_salience_mask_invariant(rng):
