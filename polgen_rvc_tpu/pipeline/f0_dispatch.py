@@ -38,11 +38,17 @@ class F0DispatchMixin:
             from ..models.crepe import crepe_salience_window
             from .crepe_method import _FRAME_BUCKET
 
+            # float16 on the wire: the (2048, 360) salience slabs are the
+            # crepe path's only bulk download (34 MB f32 per 3-min song on
+            # a ~37 MB/s relay, measured 0.7 s); halving them costs ~5e-4
+            # relative on sigmoid outputs — the same envelope as the
+            # reference's fp16 torchcrepe GPU path. Salience itself
+            # computes in f32 (models/crepe.py).
             self._crepe_fns[samples_bucket] = jax.jit(
                 lambda params, audio_i16, inv_scale, start, hop:
                 crepe_salience_window(
                     params, audio_i16, inv_scale, start, hop, _FRAME_BUCKET
-                )
+                ).astype(jnp.float16)
             )
         return self._crepe_fns[samples_bucket]
 
