@@ -197,6 +197,131 @@ def viterbi_path(probs: np.ndarray, width: int = 12) -> np.ndarray:
     return path
 
 
+def viterbi_path_device(log_obs, n, width: int = 12):
+    """Banded Viterbi as a lax.scan — the decode stays ON DEVICE, so the
+    crepe F0 path never fetches the (T, 360) salience to the host (the
+    fetch + host recursion were the method's whole gap vs rmvpe/fcpe:
+    measured 0.74 s + 0.45 s exposed per 3-min song on the relay).
+
+    Same semantics as viterbi_path (torchcrepe decode.viterbi, reference
+    pipeline.py:86-117): triangular transitions, log(p + 1e-20) smoothing,
+    out-of-band transitions all score exactly log(1e-20) so their best
+    source is the previous row's global argmax ("teleport"), first-index
+    argmax tie rules throughout. The DP runs in f32 with per-step
+    renormalization (a uniform shift — argmax-invariant) instead of the
+    host path's unnormalized f64, so paths can differ only on near-ties
+    below f32 resolution (~1e-7 relative; pinned by tests).
+
+    log_obs: (T, 360) f32. n: dynamic valid-frame count — rows t >= n are
+    pass-through (dp unchanged, identity backpointer), so the result
+    equals a run on log_obs[:n] extended with constant tail.
+    """
+    t_len, n_bins = log_obs.shape
+    if t_len == 0:
+        return jnp.zeros((0,), jnp.int32)
+    half = width - 1
+    bw = 2 * half + 1
+    log_trans = np.log(_transition_matrix(width) + 1e-20)
+    band = np.full((n_bins, bw), -np.inf, np.float32)
+    j = np.arange(n_bins)
+    for d in range(-half, half + 1):
+        src = j + d
+        ok = (src >= 0) & (src < n_bins)
+        band[ok, d + half] = log_trans[src[ok], j[ok]]
+    band = jnp.asarray(band)
+    log_eps = np.float32(np.log(1e-20))
+    gidx = jnp.arange(n_bins)[:, None] + jnp.arange(bw)[None, :]  # into dp_pad
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+
+    def step(dp, inp):
+        t, obs_t = inp
+        m = jnp.argmax(dp)  # first-index tie rule, as the host paths
+        eps_cand = dp[m] + log_eps
+        dp_pad = jnp.pad(dp, (half, half), constant_values=-jnp.inf)
+        cand = dp_pad[gidx] + band  # (bins, bw), d ascending
+        bi_d = jnp.argmax(cand, axis=1)  # lowest-d first on ties
+        best = jnp.take_along_axis(cand, bi_d[:, None], axis=1)[:, 0]
+        bi = (bi_d.astype(jnp.int32) + bins - half)
+        # on an exact tie the dense scan keeps the lower source index
+        take_eps = (eps_cand > best) | ((eps_cand == best) & (m < bi))
+        best = jnp.where(take_eps, eps_cand, best)
+        bi = jnp.where(take_eps, m, bi)
+        dp_new = best + obs_t
+        dp_new = dp_new - jnp.max(dp_new)  # renorm: keeps f32 at full res
+        valid = t < n
+        dp_out = jnp.where(valid, dp_new, dp)
+        back_t = jnp.where(valid, bi, bins).astype(jnp.int16)
+        return dp_out, back_t
+
+    dp0 = np.float32(np.log(1.0 / n_bins)) + log_obs[0]
+    dp_fin, back = jax.lax.scan(
+        step, dp0, (jnp.arange(1, t_len), log_obs[1:])
+    )
+    end = jnp.argmax(dp_fin).astype(jnp.int32)
+
+    def bt_step(bin_, back_t):
+        b = back_t[bin_].astype(jnp.int32)
+        return b, b
+
+    _, path_head = jax.lax.scan(bt_step, end, back, reverse=True)
+    return jnp.concatenate([path_head, end[None]])
+
+
+def crepe_f0_decode_device(salience, n, *, f0_min: float = 50.0,
+                           f0_max: float = 1100.0):
+    """Device mirror of crepe_f0_decode: (T, 360) salience -> (T,) Hz with
+    fmin/fmax bin masking, scan Viterbi, ±4-bin weighted cents. f32 per the
+    repo numerics rule (F0 cents decode stays fp32); rows t >= n are
+    garbage the caller's resize never reads."""
+    freqs = np.asarray(cents_to_hz(bin_cents_table()), np.float64)
+    bin_mask = (freqs < f0_min) | (freqs > f0_max)
+    sal = salience.astype(jnp.float32)
+    probs = jnp.where(jnp.asarray(bin_mask)[None, :], 0.0, sal)
+    obs = probs / jnp.maximum(probs.sum(axis=1, keepdims=True), 1e-20)
+    log_obs = jnp.log(obs + 1e-20)
+    path = viterbi_path_device(log_obs, n)
+    # bins_to_f0 on device: weighted local average around the path
+    cents_map = jnp.pad(jnp.asarray(bin_cents_table()), (4, 4))
+    sal_pad = jnp.pad(sal, ((0, 0), (4, 4)))
+    idx = path[:, None] + jnp.arange(9)[None, :]
+    w = jnp.take_along_axis(sal_pad, idx, axis=1)
+    c = cents_map[idx]
+    cents = (w * c).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1e-12)
+    return 10.0 * (2.0 ** (cents / 1200.0))
+
+
+def crepe_resize_device(f0, n, p_len, out_size: int):
+    """Device mirror of the reference crepe post (pipeline.py:108-117,
+    mirrored host-side in pipeline/crepe_method.py): sub-threshold frames
+    -> nan, linear resize from n frames to p_len via
+    np.interp(i*n/p_len, arange(n), source), nan -> 0. Static out_size
+    (>= p_len); n and p_len travel as dynamic scalars.
+
+    The source grid index i*n//p_len is computed EXACTLY without int64:
+    a f32 estimate q0, then the residual i*n - q0*p_len in wrap-exact
+    int32 (the true residual is a few multiples of p_len, far below 2^31
+    even where i*n itself would overflow)."""
+    i = jnp.arange(out_size, dtype=jnp.int32)
+    nf = jnp.maximum(n, 1).astype(jnp.int32)
+    pf = jnp.maximum(p_len, 1).astype(jnp.int32)
+    q0 = jnp.floor(
+        i.astype(jnp.float32) * (nf.astype(jnp.float32) / pf.astype(jnp.float32))
+    ).astype(jnp.int32)
+    r = i * nf - q0 * pf
+    q = q0 + jnp.floor_divide(r, pf)
+    r = r - jnp.floor_divide(r, pf) * pf
+    frac = r.astype(jnp.float32) / pf.astype(jnp.float32)
+    s0 = f0[jnp.clip(q, 0, nf - 1)]
+    s1 = f0[jnp.clip(q + 1, 0, nf - 1)]
+    out = jnp.where(frac > 0, s0 + frac * (s1 - s0), s0)
+    out = jnp.where(q >= nf - 1, f0[nf - 1], out)  # np.interp right clamp
+    # nan gate: an exact grid hit (frac == 0) reads only s0 — np.interp
+    # returns fp[k] there without touching the nan neighbor (verified)
+    invalid = (s0 < 0.001) | ((s1 < 0.001) & (frac > 0) & (q < nf - 1))
+    out = jnp.where(invalid, 0.0, out)
+    return jnp.where(i < p_len, out, 0.0)
+
+
 def bins_to_f0(path: np.ndarray, salience: np.ndarray) -> np.ndarray:
     """Weighted local average (±4 bins) around the decoded path -> Hz."""
     cents_map = np.pad(bin_cents_table(), (4, 4))

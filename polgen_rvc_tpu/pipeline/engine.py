@@ -103,6 +103,7 @@ class VoiceConverter(F0DispatchMixin, OutputPathMixin, BatchCoverMixin,
         self._chunk_fns = {}
         self._f0_fns = {}
         self._crepe_fns = {}
+        self._crepe_dec_fns = {}
         self._fcpe_fns = {}
         self._trim_fns = {}
 

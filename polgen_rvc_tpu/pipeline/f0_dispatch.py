@@ -52,6 +52,59 @@ class F0DispatchMixin:
             )
         return self._crepe_fns[samples_bucket]
 
+    def _crepe_decode_fn(self, frames_bucket: int, out_bucket: int,
+                         f0_min: float, f0_max: float):
+        """Device-resident crepe decode tail: scan Viterbi + cents + the
+        reference resize/nan post + pitch shift + coarse quantization in
+        ONE graph over the concatenated salience slabs — nothing crosses
+        the host link, and the (1, out_bucket) output shares the
+        rmvpe/fcpe chunk-graph family."""
+        key = (frames_bucket, out_bucket, float(f0_min), float(f0_max))
+        if key not in self._crepe_dec_fns:
+            from ..models.crepe import (
+                crepe_f0_decode_device, crepe_resize_device,
+            )
+            from ..ops.f0_utils import coarse_f0
+
+            @jax.jit
+            def fn(salience, n, p_len, shift_factor):
+                f0 = crepe_f0_decode_device(
+                    salience, n, f0_min=f0_min, f0_max=f0_max
+                )
+                f0r = crepe_resize_device(f0, n, p_len, out_bucket)
+                pitchf = f0r * shift_factor
+                pitch = coarse_f0(pitchf, f0_min, f0_max)
+                return pitch[None], pitchf[None]
+
+            self._crepe_dec_fns[key] = fn
+        return self._crepe_dec_fns[key]
+
+    def _crepe_dispatch_device(self, audio: np.ndarray, p_len: int,
+                               opts: ConversionOptions, uploaded=None):
+        """Dispatch the fused crepe salience slabs + decode graph; returns
+        (pitch, pitchf) as UNfetched (1, P) device arrays — the crepe
+        analog of _rmvpe_dispatch/_fcpe_dispatch_device, so chunk graphs
+        slice F0 on device with no host synchronization (the fetch + host
+        Viterbi were 1.2 s of exposed critical path per 3-min song)."""
+        from .crepe_method import _FRAME_BUCKET
+
+        audio_dev, inv_scale, t = uploaded or self._upload_audio(audio)
+        hop = int(opts.hop_length)
+        n = t // hop + 1
+        padded = int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET
+        fn = self._crepe_fn(int(audio_dev.shape[1]))
+        outs = [
+            fn(self.crepe_params, audio_dev, inv_scale, jnp.int32(start),
+               jnp.int32(hop))
+            for start in range(0, padded, _FRAME_BUCKET)
+        ]
+        sal = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        out_bucket = int(audio_dev.shape[1]) // 160 + 1
+        shift = np.float32(2.0 ** (opts.pitch / 12.0))
+        return self._crepe_decode_fn(
+            padded, out_bucket, opts.f0_min, opts.f0_max
+        )(sal, jnp.int32(n), jnp.int32(p_len), shift)
+
     def _fcpe_dev_fn(self, samples_bucket: int, f0_min: float, f0_max: float):
         """Fused device-resident FCPE F0: mel + conformer salience + cents
         decode + resize/gap-fill + pitch shift + coarse quantization in ONE
@@ -220,10 +273,11 @@ class F0DispatchMixin:
 
     def compute_f0_device(self, audio_pad: np.ndarray, p_len: int,
                           opts: ConversionOptions, uploaded=None):
-        """Device-resident F0: dispatch the fused rmvpe (or fcpe) graph and
-        return (pitch, pitchf) as UNfetched (p_len,) device arrays so chunk
-        graphs consume them without a host synchronization. Returns None
-        when the method or an f0-file override requires the host path.
+        """Device-resident F0: dispatch the fused rmvpe, fcpe, or crepe
+        graph and return (pitch, pitchf) as UNfetched (1, P) device arrays
+        so chunk graphs consume them without a host synchronization.
+        Returns None when the method or an f0-file override requires the
+        host path.
 
         The fcpe device path reads the shared int16 upload (the host path
         reads the float signal directly) and its bucket tail is zero-padded
@@ -247,6 +301,12 @@ class F0DispatchMixin:
         ):
             return self._fcpe_dispatch_device(audio_pad, p_len, opts,
                                               uploaded)
+        if (
+            opts.f0_method == "mangio-crepe"
+            and self.crepe_params is not None
+        ):
+            return self._crepe_dispatch_device(audio_pad, p_len, opts,
+                                               uploaded)
         return None
 
     def _apply_f0_file(self, f0: np.ndarray, path: str) -> np.ndarray:

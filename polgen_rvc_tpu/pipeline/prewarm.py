@@ -58,7 +58,11 @@ class PrewarmMixin:
             and self.fcpe_params is not None and self.fcpe_cfg is not None
             and self.fcpe_cfg.hop_size == eng.window
         )
-        devf0_wanted = devf0_rmvpe or devf0_fcpe
+        devf0_crepe = (
+            use_f0 and opts.f0_method == "mangio-crepe" and not opts.f0_file
+            and self.crepe_params is not None
+        )
+        devf0_wanted = devf0_rmvpe or devf0_fcpe or devf0_crepe
         if devf0_rmvpe:
             # the F0 graph is itself one of the heavy loads: dispatch it
             # from the pool like the chunk graphs. Its (1, P) output shape
@@ -93,6 +97,22 @@ class PrewarmMixin:
             ))
             # shape/dtype/placement stand-ins for the chunk graphs' pitch
             # rows (values are irrelevant to compilation)
+            pitch_dev = jnp.ones((1, devf0_frames), jnp.int32)
+            pitchf_dev = jnp.zeros((1, devf0_frames), jnp.float32)
+            if self.mesh is not None:
+                pitch_dev = self._put(pitch_dev, replicated=True)
+                pitchf_dev = self._put(pitchf_dev, replicated=True)
+        elif devf0_crepe:
+            # fused salience slabs + scan-Viterbi decode emit
+            # (1, bucket//160 + 1) — the same shape family as rmvpe/fcpe,
+            # so the chunk graphs are shared across all three methods
+            devf0_frames = int(audio_buf.shape[1]) // 160 + 1
+            tasks.append((
+                lambda: self._crepe_dispatch_device(
+                    plan.padded_audio, p_len_full, opts, uploaded
+                ),
+                None,
+            ))
             pitch_dev = jnp.ones((1, devf0_frames), jnp.int32)
             pitchf_dev = jnp.zeros((1, devf0_frames), jnp.float32)
             if self.mesh is not None:

@@ -75,6 +75,123 @@ def test_viterbi_banded_native_matches_dense(rng):
         )
 
 
+def _viterbi_score_f64(path, probs):
+    """f64 total log-score of a path under the dense formulation — the
+    ground truth both decoders optimize."""
+    from polgen_rvc_tpu.models.crepe import _transition_matrix, _viterbi_prep
+
+    log_trans, log_obs = _viterbi_prep(probs, 12)
+    s = np.log(1.0 / 360) + log_obs[0, path[0]]
+    for t in range(1, len(path)):
+        s += log_trans[path[t - 1], path[t]] + log_obs[t, path[t]]
+    return s
+
+
+def test_viterbi_device_matches_host(rng):
+    """The lax.scan device Viterbi (f32, per-step renorm) must reproduce
+    the host recursion's paths wherever the salience has structure; on
+    all-tie plateau frames (synthetic-only: bin masking can't zero
+    in-range sigmoid salience) it may break the exact tie differently,
+    but the path it picks must have the SAME f64 total cost — an equally
+    optimal decode. Rows t >= n are pass-through padding."""
+    from polgen_rvc_tpu.models.crepe import viterbi_path_device
+
+    for trial in range(4):
+        t = 240
+        probs = rng.random((t, 360)) * 0.01
+        c = np.clip(100 + np.cumsum(rng.integers(-3, 4, t)), 0, 359)
+        probs[np.arange(t), c] = 0.9
+        probs[:, :40] = 0.0
+        probs[:, 300:] = 0.0
+        plateau = trial % 2
+        if plateau:
+            probs[80:100, :] = 0.0  # fully-masked frames: every bin ties
+        p32 = probs.astype(np.float32)
+        obs = p32 / np.maximum(p32.sum(1, keepdims=True), 1e-20)
+        log_obs = np.log(obs + 1e-20).astype(np.float32)
+        path_h = viterbi_path(p32.astype(np.float64))
+        # padded run: garbage rows past n must not affect the decode
+        pad_rows = rng.random((16, 360)).astype(np.float32)
+        lo_pad = np.concatenate([log_obs, np.log(pad_rows + 1e-20)])
+        path_d = np.asarray(
+            viterbi_path_device(jnp.asarray(lo_pad), jnp.int32(t))
+        )
+        assert np.all(path_d[t:] == path_d[t - 1])  # identity tail
+        path_d = path_d[:t]
+        if not plateau:
+            np.testing.assert_array_equal(path_d, path_h)
+        else:
+            # differences confined to the equal-cost plateau block
+            mism = np.nonzero(path_d != path_h)[0]
+            assert np.all((mism >= 80) & (mism < 101)), mism
+            p64 = p32.astype(np.float64)
+            np.testing.assert_allclose(
+                _viterbi_score_f64(path_d, p64),
+                _viterbi_score_f64(path_h, p64), rtol=1e-12,
+            )
+
+
+def test_crepe_resize_device_matches_host():
+    """crepe_resize_device must mirror the reference post exactly: nan
+    gating below 0.001, np.interp from n frames onto the i*n/p_len grid
+    (incl. exact-grid-hit nan semantics and right-edge clamp), nan -> 0,
+    zero past p_len."""
+    from polgen_rvc_tpu.models.crepe import crepe_resize_device
+
+    rng = np.random.default_rng(1)
+    for n, p_len in ((50, 80), (80, 50), (64, 64), (1, 10), (10, 1),
+                     (33, 97)):
+        f0 = (100.0 + 50.0 * rng.random(n)).astype(np.float32)
+        f0[rng.random(n) < 0.25] = 0.0  # sub-threshold -> nan on host
+        source = f0.astype(np.float64).copy()
+        source[source < 0.001] = np.nan
+        target = np.interp(
+            np.arange(0, len(source) * p_len, len(source)) / p_len,
+            np.arange(0, len(source)), source,
+        )
+        host = np.nan_to_num(target).astype(np.float32)
+        out_size = max(p_len, n) + 7
+        dev = np.asarray(crepe_resize_device(
+            jnp.asarray(f0), jnp.int32(n), jnp.int32(p_len), out_size
+        ))
+        np.testing.assert_allclose(dev[:p_len], host, rtol=1e-5, atol=1e-4)
+        assert np.all(dev[p_len:] == 0)
+
+
+def test_crepe_device_path_matches_host(rng):
+    """The device-resident crepe F0 (fused salience slabs + scan Viterbi +
+    resize + shift + coarse) must track the host glue: same salience
+    slabs feed both, so differences are only f32-vs-f64 decode rounding."""
+    from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    vc = build_synthetic_converter(
+        tiny=True, sr=48000,
+        engine=EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8,
+                            chunk_batch=1, bucket_step_s=2),
+        with_crepe=True,
+    )
+    t = np.arange(16000 * 3) / 16000
+    audio = (0.4 * np.sin(
+        2 * np.pi * 220 * (1 + 0.01 * np.sin(2 * np.pi * 5 * t)) * t
+    )).astype(np.float32)
+    opts = ConversionOptions(f0_method="mangio-crepe", pitch=2,
+                             hop_length=160)
+    _, uploaded, _, plan = vc._upload_preamble(audio)
+    p_len = plan.padded_audio.shape[0] // vc.engine.window
+
+    dev = vc.compute_f0_device(plan.padded_audio, p_len, opts, uploaded)
+    assert dev is not None, "crepe device path did not engage"
+    pitch_d = np.asarray(dev[0])[0, :p_len]
+    pitchf_d = np.asarray(dev[1])[0, :p_len]
+    pitch_h, pitchf_h = vc.compute_f0(plan.padded_audio, p_len, opts)
+
+    rel = np.abs(pitchf_d - pitchf_h) / np.maximum(np.abs(pitchf_h), 1.0)
+    assert np.median(rel) < 1e-4
+    assert np.mean(rel < 1e-2) > 0.98, f"crepe device/host diverge: {rel.max()}"
+    assert np.mean(pitch_d == pitch_h) > 0.98
+
+
 def test_fcpe_salience_mask_invariant(rng):
     """fcpe_salience(n_valid=n) on a bucket-padded mel must equal the
     true-length run on frames [0, n): GroupNorm stats, FAVOR+ sums, and
@@ -206,7 +323,7 @@ def test_prewarm_zero_recompile_fcpe_and_crepe(rng):
         keys = {
             name: set(getattr(vc, name))
             for name in ("_chunk_fns", "_f0_fns", "_trim_fns",
-                         "_fcpe_fns", "_crepe_fns")
+                         "_fcpe_fns", "_crepe_fns", "_crepe_dec_fns")
         }
         assert keys[store], f"{method} salience graph was not prewarmed"
         sizes = {
