@@ -323,9 +323,14 @@ def crepe_resize_device(f0, n, p_len, out_size: int):
 
 
 def bins_to_f0(path: np.ndarray, salience: np.ndarray) -> np.ndarray:
-    """Weighted local average (±4 bins) around the decoded path -> Hz."""
+    """Weighted local average (±4 bins) around the decoded path -> Hz.
+
+    Salience may arrive float16 (the wire format of the device slabs) but
+    the cents average runs in float32+: an f16 `w.sum` loses ~5e-4 relative
+    on the denominator, which the repo numerics rule (F0 cents decode stays
+    fp32) forbids."""
     cents_map = np.pad(bin_cents_table(), (4, 4))
-    sal = np.pad(salience, ((0, 0), (4, 4)))
+    sal = np.pad(salience.astype(np.float32), ((0, 0), (4, 4)))
     idx = path[:, None] + np.arange(9)[None, :]
     w = np.take_along_axis(sal, idx, axis=1)
     c = cents_map[idx]

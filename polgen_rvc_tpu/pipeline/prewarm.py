@@ -82,6 +82,17 @@ class PrewarmMixin:
                                              uploaded)[:3],
                 None,
             ))
+            # shape/dtype/placement stand-ins for the chunk graphs' pitch
+            # rows, exactly like the fcpe/crepe branches below: convert()
+            # feeds the chunk graphs device-resident (1, P) F0 (engine.py
+            # pitch_dev), so prewarm tracing with host-shaped (B, p_len)
+            # rows would warm a DIFFERENT executable and re-pay the graph
+            # load at first serve (the round-4 zero-recompile regression).
+            pitch_dev = jnp.ones((1, devf0_frames), jnp.int32)
+            pitchf_dev = jnp.zeros((1, devf0_frames), jnp.float32)
+            if self.mesh is not None:
+                pitch_dev = self._put(pitch_dev, replicated=True)
+                pitchf_dev = self._put(pitchf_dev, replicated=True)
         elif devf0_fcpe:
             # the fused fcpe graph emits (1, bucket//hop + 1) — same shape
             # family as rmvpe, so the chunk graphs are shared between the
