@@ -241,11 +241,23 @@ def fcpe_resize_fill(f0, n, p_len):
     host/reference formulation truncates i*(n/p_len) in float, which can
     pick the neighbouring frame when i*(n/p_len) rounds across an integer.
     With hop == window the resize is near-identity, so the tracks agree
-    except at isolated boundary frames (pinned by tests/test_f0_methods)."""
+    except at isolated boundary frames (pinned by tests/test_f0_methods).
+
+    floor((i*n)/p_len) is computed WITHOUT int64 (disabled by default) and
+    without int32 overflow, the same way as crepe_resize_device: a f32
+    quotient estimate q0, then the residual i*n - q0*p_len in wrap-exact
+    int32 arithmetic (the true residual is a few multiples of p_len, far
+    below 2^31 even where i*n itself wraps — a naive (i*n)//p_len silently
+    corrupts frames past i*n >= 2^31, ~46k frames at hop 160)."""
     size = f0.shape[0]
-    i = jnp.arange(size)
-    nf = jnp.maximum(n, 1)
-    src = jnp.clip((i * nf) // jnp.maximum(p_len, 1), 0, nf - 1)
+    i = jnp.arange(size, dtype=jnp.int32)
+    nf = jnp.maximum(n, 1).astype(jnp.int32)
+    pf = jnp.maximum(p_len, 1).astype(jnp.int32)
+    q0 = jnp.floor(
+        i.astype(jnp.float32) * (nf.astype(jnp.float32) / pf.astype(jnp.float32))
+    ).astype(jnp.int32)
+    r = i * nf - q0 * pf
+    src = jnp.clip(q0 + jnp.floor_divide(r, pf), 0, nf - 1)
     f0r = f0[src]
     valid = (i < p_len) & (f0r > 0)
     prev = jax.lax.cummax(jnp.where(valid, i, -1))

@@ -106,17 +106,35 @@ extern "C" void polgen_viterbi_banded_probs(
     int32_t* path_out)
 {
     std::vector<double> row(n_bins);
-    // numpy float64 pairwise sum (unrolled-by-8 base case like numpy's):
-    // needed so obs matches probs.astype(f64).sum(axis=1) exactly
+    // numpy's float64 pairwise_sum, replicated operation-for-operation
+    // (sequential base for n < 8; 8 partial accumulators over blocks of 8
+    // with the fixed ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7)) combine up to a
+    // 128-element block; larger n split at n/2 rounded DOWN to a multiple
+    // of 8): needed so obs matches probs.astype(f64).sum(axis=1)
+    // bit-for-bit — a plain halving recursion differs in the last ulp on
+    // ~12% of f16-quantized salience rows, which flips dense-vs-banded
+    // parity on exact-tie plateaus.
     struct Pairwise {
         static double sum(const double* a, int32_t n) {
-            if (n <= 8) {
+            if (n < 8) {
                 double s = 0.0;
                 for (int32_t i = 0; i < n; ++i) s += a[i];
                 return s;
             }
-            const int32_t h = n / 2;
-            return sum(a, h) + sum(a + h, n - h);
+            if (n <= 128) {
+                double r[8] = {a[0], a[1], a[2], a[3],
+                               a[4], a[5], a[6], a[7]};
+                int32_t i = 8;
+                for (; i < n - (n % 8); i += 8)
+                    for (int32_t j = 0; j < 8; ++j) r[j] += a[i + j];
+                double res = ((r[0] + r[1]) + (r[2] + r[3]))
+                           + ((r[4] + r[5]) + (r[6] + r[7]));
+                for (; i < n; ++i) res += a[i];
+                return res;
+            }
+            int32_t n2 = n / 2;
+            n2 -= n2 % 8;
+            return sum(a, n2) + sum(a + n2, n - n2);
         }
     };
     viterbi_core(

@@ -42,8 +42,15 @@ class F0DispatchMixin:
             # crepe path's only bulk download (34 MB f32 per 3-min song on
             # a ~37 MB/s relay, measured 0.7 s); halving them costs ~5e-4
             # relative on sigmoid outputs — the same envelope as the
-            # reference's fp16 torchcrepe GPU path. Salience itself
-            # computes in f32 (models/crepe.py).
+            # reference's fp16 torchcrepe GPU path, bounded at pipeline
+            # semantics by tests/test_f0_methods.py::
+            # test_crepe_f16_wire_coarse_bins_bounded. Salience itself
+            # computes in f32 (models/crepe.py), and every decode consumer
+            # upcasts before any arithmetic. The fused DEVICE decode path
+            # (_crepe_decode_fn) gains no bandwidth from f16 but reads the
+            # same slabs DELIBERATELY: one salience executable serves both
+            # consumers (a second f32-keyed jit would double the ~3-5 min
+            # remote compile and the ~90 s/graph relay load).
             self._crepe_fns[samples_bucket] = jax.jit(
                 lambda params, audio_i16, inv_scale, start, hop:
                 crepe_salience_window(

@@ -277,6 +277,106 @@ def test_fcpe_post_process_degenerate():
     np.testing.assert_allclose(out, 150.0)
 
 
+def test_fcpe_resize_fill_long_audio_no_int32_wrap():
+    """fcpe_resize_fill's floor((i*n)/p_len) must stay exact where i*n
+    overflows int32 (n >= ~46341 frames, ~7.7 min at 16 kHz): a naive
+    (i * n) // p_len wraps and silently maps late output frames to wrong
+    source frames. The index must match an int64 host computation."""
+    from polgen_rvc_tpu.models.fcpe import fcpe_resize_fill
+
+    # identity case: n == p_len == 50000 -> src must be exactly arange(n),
+    # including frames past i*n >= 2**31 (i >= 6554 here)
+    n = p_len = 50000
+    size = 50176
+    f0 = np.arange(1, size + 1, dtype=np.float32)  # strictly positive: no gaps
+    out = np.asarray(fcpe_resize_fill(
+        jnp.asarray(f0), jnp.int32(n), jnp.int32(p_len)
+    ))
+    np.testing.assert_array_equal(out[:p_len], f0[:p_len])
+    assert np.all(out[p_len:] == 0)
+
+    # non-identity resize at wrap-prone magnitudes vs exact int64 indices
+    n, p_len, size = 46000, 60000, 60160
+    f0 = np.arange(1, size + 1, dtype=np.float32)
+    out = np.asarray(fcpe_resize_fill(
+        jnp.asarray(f0), jnp.int32(n), jnp.int32(p_len)
+    ))
+    src = np.clip(
+        (np.arange(size, dtype=np.int64) * n) // p_len, 0, n - 1
+    )
+    np.testing.assert_array_equal(out[:p_len], f0[src[:p_len]])
+
+
+def test_crepe_f16_wire_coarse_bins_bounded(rng):
+    """The f16 wire format of the crepe salience slabs
+    (pipeline/f0_dispatch.py) must be inaudible at PIPELINE semantics: the
+    coarse mel-quantized bins the synthesizer embeds
+    (reference pipeline.py:193-201) may differ from an f32-slab decode only
+    by bounded flips. Bound derivation: f16 rounding perturbs sigmoid
+    salience by <= 2^-11 relative; through the +-4-bin weighted cents
+    average that moves cents by <~ 0.1 (rel f0 <~ 1e-4), except where the
+    Viterbi path flips a whole 20-cent bin on an f16-created near-tie —
+    a 1.2e-2 rel jump, <= 2 coarse-bin steps (3.885 mel/step, a 20-cent
+    flip at 1100 Hz moves <= 7.4 mel)."""
+    from polgen_rvc_tpu.models.crepe import (
+        crepe_f0_decode, crepe_salience_window,
+    )
+    from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
+    from polgen_rvc_tpu.pipeline.crepe_method import _FRAME_BUCKET
+    from polgen_rvc_tpu.pipeline.f0_dispatch import coarse_f0_np
+    from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
+
+    vc = build_synthetic_converter(
+        tiny=True, sr=48000,
+        engine=EngineConfig(x_pad=1, x_query=2, x_center=6, x_max=8,
+                            chunk_batch=1, bucket_step_s=2),
+        with_crepe=True,
+    )
+    t = np.arange(16000 * 3) / 16000
+    audio = (0.4 * np.sin(
+        2 * np.pi * 220 * (1 + 0.01 * np.sin(2 * np.pi * 5 * t)) * t
+    ) + 0.005 * rng.standard_normal(t.size)).astype(np.float32)
+    opts = ConversionOptions(f0_method="mangio-crepe", pitch=2,
+                             hop_length=160)
+    _, uploaded, _, plan = vc._upload_preamble(audio)
+    p_len = plan.padded_audio.shape[0] // vc.engine.window
+    audio_dev, inv_scale, tt = uploaded
+    n = tt // int(opts.hop_length) + 1
+
+    sal32 = np.concatenate([
+        np.asarray(crepe_salience_window(
+            vc.crepe_params, audio_dev, inv_scale, jnp.int32(s),
+            jnp.int32(opts.hop_length), _FRAME_BUCKET,
+        ))
+        for s in range(0, int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET,
+                       _FRAME_BUCKET)
+    ])[:n]
+    assert sal32.dtype == np.float32
+
+    shift = 2.0 ** (opts.pitch / 12.0)
+    tracks = {}
+    for name, sal in (("f32", sal32), ("f16", sal32.astype(np.float16))):
+        f0 = crepe_f0_decode(sal, f0_min=opts.f0_min, f0_max=opts.f0_max)
+        source = f0.astype(np.float64)
+        source[source < 0.001] = np.nan
+        target = np.interp(
+            np.arange(0, len(source) * p_len, len(source)) / p_len,
+            np.arange(0, len(source)), source,
+        )
+        pitchf = np.nan_to_num(target).astype(np.float32) * shift
+        tracks[name] = (pitchf, coarse_f0_np(pitchf.copy(), opts.f0_min,
+                                             opts.f0_max))
+
+    pf32, c32 = tracks["f32"]
+    pf16, c16 = tracks["f16"]
+    rel = np.abs(pf16 - pf32) / np.maximum(np.abs(pf32), 1.0)
+    assert np.median(rel) < 2e-4, np.median(rel)
+    assert np.mean(rel < 2e-2) > 0.98, rel.max()  # path flips only
+    d = np.abs(c16.astype(np.int64) - c32.astype(np.int64))
+    assert d.max() <= 2, d.max()
+    assert np.mean(d == 0) > 0.95, np.mean(d == 0)
+
+
 def test_engine_crepe_and_fcpe_methods(rng):
     from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
     from polgen_rvc_tpu.pipeline.factory import build_synthetic_converter
