@@ -85,13 +85,22 @@ def crepe_salience_window(params, audio_i16, inv_scale, start_frame, hop,
 
 
 def crepe_salience(params, frames, cfg: CrepeConfig = CrepeConfig()):
-    """(B*, 1024) normalized frames -> (B*, 360) sigmoid salience."""
+    """(B*, 1024) normalized frames -> (B*, 360) sigmoid salience.
+
+    torchcrepe's layer order is pad -> conv -> relu -> BatchNorm -> maxpool
+    (model.py `layer`, mirroring the original keras CREPE's inline conv
+    activation): BN sits AFTER the relu, so it cannot be folded into the
+    conv weights — it survives conversion as a per-channel (s, t) affine
+    applied post-relu (convert/crepe_ckpt.py). XLA fuses the multiply-add
+    into the conv epilogue; pooling commutes with it only for s > 0, so it
+    is applied before the pool exactly as the reference orders it."""
     x = frames[:, None, :, None]  # (N, 1, 1024, 1)
     for i, (out_ch, k, stride, pt, pb) in enumerate(cfg.layers):
         x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (0, 0)))
         p = params["convs"][i]
         x = conv2d(x, p["w"], p["b"], stride=(stride, 1))
         x = jax.nn.relu(x)
+        x = x * p["s"].astype(x.dtype)[:, None, None] + p["t"].astype(x.dtype)[:, None, None]
         # maxpool (2, 1)
         n, c, h, w = x.shape
         x = x.reshape(n, c, h // 2, 2, w).max(axis=3)
@@ -268,18 +277,28 @@ def viterbi_path_device(log_obs, n, width: int = 12):
 
 
 def crepe_f0_decode_device(salience, n, *, f0_min: float = 50.0,
-                           f0_max: float = 1100.0):
+                           f0_max: float = 1100.0, use_pallas: bool = False):
     """Device mirror of crepe_f0_decode: (T, 360) salience -> (T,) Hz with
     fmin/fmax bin masking, scan Viterbi, ±4-bin weighted cents. f32 per the
     repo numerics rule (F0 cents decode stays fp32); rows t >= n are
-    garbage the caller's resize never reads."""
+    garbage the caller's resize never reads.
+
+    use_pallas routes the recursion through ops/pallas_viterbi.py (TPU
+    only): the lax.scan lowering pays ~80 us of per-op dispatch per
+    timestep (1.86 s per 3-min song, measured); the kernel runs the same
+    bit-exact recursion inside one fori_loop."""
     freqs = np.asarray(cents_to_hz(bin_cents_table()), np.float64)
     bin_mask = (freqs < f0_min) | (freqs > f0_max)
     sal = salience.astype(jnp.float32)
     probs = jnp.where(jnp.asarray(bin_mask)[None, :], 0.0, sal)
     obs = probs / jnp.maximum(probs.sum(axis=1, keepdims=True), 1e-20)
     log_obs = jnp.log(obs + 1e-20)
-    path = viterbi_path_device(log_obs, n)
+    if use_pallas:
+        from ..ops.pallas_viterbi import viterbi_path_pallas
+
+        path = viterbi_path_pallas(log_obs, n)
+    else:
+        path = viterbi_path_device(log_obs, n)
     # bins_to_f0 on device: weighted local average around the path
     cents_map = jnp.pad(jnp.asarray(bin_cents_table()), (4, 4))
     sal_pad = jnp.pad(sal, ((0, 0), (4, 4)))

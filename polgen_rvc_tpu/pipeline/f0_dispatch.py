@@ -73,10 +73,16 @@ class F0DispatchMixin:
             )
             from ..ops.f0_utils import coarse_f0
 
+            # Pallas Viterbi on TPU only (parity-pinned in interpret mode
+            # on CPU): the scan lowering cost 1.86 s/3-min song of per-op
+            # dispatch (tools/profile_crepe_device.py)
+            use_pallas = jax.default_backend() not in ("cpu",)
+
             @jax.jit
             def fn(salience, n, p_len, shift_factor):
                 f0 = crepe_f0_decode_device(
-                    salience, n, f0_min=f0_min, f0_max=f0_max
+                    salience, n, f0_min=f0_min, f0_max=f0_max,
+                    use_pallas=use_pallas,
                 )
                 f0r = crepe_resize_device(f0, n, p_len, out_bucket)
                 pitchf = f0r * shift_factor

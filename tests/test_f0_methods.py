@@ -131,6 +131,36 @@ def test_viterbi_device_matches_host(rng):
             )
 
 
+def test_viterbi_pallas_matches_scan(rng):
+    """ops/pallas_viterbi.py must reproduce viterbi_path_device
+    BIT-identically (same f32 arithmetic in the same order — only the op
+    scheduling differs), including adversarial all-tie plateaus, garbage
+    rows past n, T not a multiple of the block, and the dp carry across
+    grid blocks (small blk forces multi-block runs)."""
+    from polgen_rvc_tpu.models.crepe import viterbi_path_device
+    from polgen_rvc_tpu.ops.pallas_viterbi import viterbi_path_pallas
+
+    for trial, (t, n, blk) in enumerate(
+        ((240, 240, 64), (240, 224, 64), (130, 111, 64), (64, 64, 64))
+    ):
+        probs = rng.random((t, 360)).astype(np.float32) * 0.01
+        c = np.clip(100 + np.cumsum(rng.integers(-3, 4, t)), 0, 359)
+        probs[np.arange(t), c] = 0.9
+        probs[:, :40] = 0.0
+        probs[:, 300:] = 0.0
+        if trial % 2:
+            probs[50:70, :] = 0.0  # fully-masked frames: every bin ties
+        if n < t:  # garbage past n must be pass-through
+            probs[n:] = rng.random((t - n, 360)).astype(np.float32)
+        obs = probs / np.maximum(probs.sum(1, keepdims=True), 1e-20)
+        log_obs = jnp.asarray(np.log(obs + 1e-20).astype(np.float32))
+        want = np.asarray(viterbi_path_device(log_obs, jnp.int32(n)))
+        got = np.asarray(viterbi_path_pallas(
+            log_obs, jnp.int32(n), interpret=True, blk=blk
+        ))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_crepe_resize_device_matches_host():
     """crepe_resize_device must mirror the reference post exactly: nan
     gating below 0.001, np.interp from n frames onto the i*n/p_len grid

@@ -452,3 +452,76 @@ def test_fcpe_forward_f0_parity(fcpe_pair):
     if voiced.any():
         cents = 1200 * np.abs(np.log2(f0_j[voiced] / f0_ref[voiced]))
         assert cents.max() < 0.5, cents.max()
+
+
+# ---------------------------------------------------------------------------
+# CREPE: independent torchcrepe oracle (VERDICT r4 #7). torchcrepe is not
+# installed (the reference invokes it at rvc/infer/pipeline.py:96-106), so
+# its full-capacity Crepe module is transcribed here from torchcrepe/model.py
+# semantics: 6x [pad -> Conv2d -> relu -> BatchNorm2d(eps=float32(1e-3)) ->
+# maxpool(2,1)], permute(0,2,1,3) -> reshape -> sigmoid(Linear). State-dict
+# names match the real crepe_full.pth layout, so the converter's mapping —
+# including the post-relu BN affine that cannot fold into the conv — is
+# checked end-to-end against independent torch arithmetic.
+# ---------------------------------------------------------------------------
+
+
+class _TorchCrepeFull(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        in_ch = [1, 1024, 128, 128, 128, 256]
+        out_ch = [1024, 128, 128, 128, 256, 512]
+        kernels = [(512, 1)] + 5 * [(64, 1)]
+        strides = [(4, 1)] + 5 * [(1, 1)]
+        for i in range(6):
+            setattr(self, f"conv{i + 1}",
+                    torch.nn.Conv2d(in_ch[i], out_ch[i], kernels[i],
+                                    strides[i]))
+            setattr(self, f"conv{i + 1}_BN",
+                    torch.nn.BatchNorm2d(out_ch[i],
+                                         eps=0.0010000000474974513))
+        self.in_features = 2048
+        self.classifier = torch.nn.Linear(self.in_features, 360)
+
+    def _layer(self, x, i, padding=(0, 0, 31, 32)):
+        x = torch.nn.functional.pad(x, padding)
+        x = getattr(self, f"conv{i}")(x)
+        x = torch.nn.functional.relu(x)
+        x = getattr(self, f"conv{i}_BN")(x)
+        return torch.nn.functional.max_pool2d(x, (2, 1), (2, 1))
+
+    def forward(self, frames):
+        x = frames[:, None, :, None]
+        x = self._layer(x, 1, (0, 0, 254, 254))
+        for i in range(2, 7):
+            x = self._layer(x, i)
+        x = x.permute(0, 2, 1, 3).reshape(-1, self.in_features)
+        return torch.sigmoid(self.classifier(x))
+
+
+def test_crepe_salience_parity_vs_torch_oracle():
+    from polgen_rvc_tpu.convert.crepe_ckpt import (
+        convert_crepe_state, make_crepe_state,
+    )
+    from polgen_rvc_tpu.models.crepe import crepe_salience
+
+    sd = make_crepe_state(seed=13)  # random (non-identity) BN statistics
+    net = _TorchCrepeFull()
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in m for m in missing), missing
+    net.eval()
+
+    rng = np.random.default_rng(14)
+    frames = rng.standard_normal((8, 1024)).astype(np.float32)
+    frames -= frames.mean(axis=1, keepdims=True)
+    frames /= np.maximum(frames.std(axis=1, keepdims=True), 1e-10)
+    with torch.no_grad():
+        sal_ref = net(torch.from_numpy(frames)).numpy()
+    params = jax.tree.map(jnp.asarray, convert_crepe_state(sd))
+    sal_j = np.asarray(crepe_salience(params, jnp.asarray(frames)))
+    assert sal_j.shape == sal_ref.shape == (8, 360)
+    np.testing.assert_allclose(sal_j, sal_ref, atol=1e-4)
