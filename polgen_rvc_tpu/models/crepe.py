@@ -61,7 +61,8 @@ def crepe_frames(audio, hop_length: int):
 
 
 def crepe_salience_window(params, audio_i16, inv_scale, start_frame, hop,
-                          n_frames: int, cfg: CrepeConfig = CrepeConfig()):
+                          n_frames: int, cfg: CrepeConfig = CrepeConfig(),
+                          compute_dtype=jnp.float32):
     """Salience for frames [start_frame, start_frame + n_frames) computed
     straight from the pipeline's shared (1, S) int16 audio upload: framing
     (torchcrepe pad=True geometry — window//2 zero pad, frame at every
@@ -81,10 +82,12 @@ def crepe_salience_window(params, audio_i16, inv_scale, start_frame, hop,
     frames = jnp.take(x, pos, mode="fill", fill_value=0.0)  # (n, 1024)
     mean = jnp.mean(frames, axis=-1, keepdims=True)
     std = jnp.maximum(jnp.std(frames, axis=-1, keepdims=True), 1e-10)
-    return crepe_salience(params, (frames - mean) / std, cfg)
+    return crepe_salience(params, (frames - mean) / std, cfg,
+                          compute_dtype=compute_dtype)
 
 
-def crepe_salience(params, frames, cfg: CrepeConfig = CrepeConfig()):
+def crepe_salience(params, frames, cfg: CrepeConfig = CrepeConfig(),
+                   compute_dtype=jnp.float32):
     """(B*, 1024) normalized frames -> (B*, 360) sigmoid salience.
 
     torchcrepe's layer order is pad -> conv -> relu -> BatchNorm -> maxpool
@@ -93,12 +96,21 @@ def crepe_salience(params, frames, cfg: CrepeConfig = CrepeConfig()):
     conv weights — it survives conversion as a per-channel (s, t) affine
     applied post-relu (convert/crepe_ckpt.py). XLA fuses the multiply-add
     into the conv epilogue; pooling commutes with it only for s > 0, so it
-    is applied before the pool exactly as the reference orders it."""
-    x = frames[:, None, :, None]  # (N, 1, 1024, 1)
+    is applied before the pool exactly as the reference orders it.
+
+    compute_dtype=bfloat16 rounds the conv MULTIPLICANDS only (the MXU
+    accumulates f32 natively and preferred_element_type keeps the f32
+    result; relu/affine/pool/classifier/sigmoid all stay f32) — the same
+    policy as the RMVPE U-Net kernels, mirroring the reference's is_half
+    fp16 torchcrepe mode (pipeline.py:96-106). Bounded at pipeline
+    semantics by tests/test_f0_methods.py."""
+    x = frames[:, None, :, None].astype(jnp.float32)  # (N, 1, 1024, 1)
     for i, (out_ch, k, stride, pt, pb) in enumerate(cfg.layers):
         x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (0, 0)))
         p = params["convs"][i]
-        x = conv2d(x, p["w"], p["b"], stride=(stride, 1))
+        x = conv2d(x.astype(compute_dtype), p["w"].astype(compute_dtype),
+                   stride=(stride, 1), preferred_element_type=jnp.float32)
+        x = x + p["b"].astype(jnp.float32)[None, :, None, None]
         x = jax.nn.relu(x)
         x = x * p["s"].astype(x.dtype)[:, None, None] + p["t"].astype(x.dtype)[:, None, None]
         # maxpool (2, 1)

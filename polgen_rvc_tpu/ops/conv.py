@@ -60,8 +60,13 @@ def conv2d(
     dilation=1,
     groups: int = 1,
     precision=None,
+    preferred_element_type=None,
 ):
-    """torch.nn.functional.conv2d. x: (B, C, H, W), w: (O, I/g, KH, KW)."""
+    """torch.nn.functional.conv2d. x: (B, C, H, W), w: (O, I/g, KH, KW).
+
+    preferred_element_type requests a wider accumulator/output than the
+    operand dtype (e.g. bf16 multiplicands with an f32 result — the MXU
+    accumulates f32 natively, so this costs nothing)."""
     stride, dilation = _pair(stride), _pair(dilation)
     ph, pw = _pair(padding)
     out = lax.conv_general_dilated(
@@ -73,6 +78,7 @@ def conv2d(
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
         precision=precision,
+        preferred_element_type=preferred_element_type,
     )
     if b is not None:
         out = out + b.astype(out.dtype)[None, :, None, None]

@@ -38,6 +38,13 @@ class F0DispatchMixin:
             from ..models.crepe import crepe_salience_window
             from .crepe_method import _FRAME_BUCKET
 
+            # bf16 conv multiplicands on TPU (f32 accumulate + f32
+            # everything-else — see crepe_salience), mirroring the
+            # reference's fp16 torchcrepe GPU mode; CPU stays f32 so the
+            # parity tests pin exact semantics
+            cdt = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+                   else jnp.float32)
+
             # float16 on the wire: the (2048, 360) salience slabs are the
             # crepe path's only bulk download (34 MB f32 per 3-min song on
             # a ~37 MB/s relay, measured 0.7 s); halving them costs ~5e-4
@@ -54,7 +61,8 @@ class F0DispatchMixin:
             self._crepe_fns[samples_bucket] = jax.jit(
                 lambda params, audio_i16, inv_scale, start, hop:
                 crepe_salience_window(
-                    params, audio_i16, inv_scale, start, hop, _FRAME_BUCKET
+                    params, audio_i16, inv_scale, start, hop, _FRAME_BUCKET,
+                    compute_dtype=cdt,
                 ).astype(jnp.float16)
             )
         return self._crepe_fns[samples_bucket]

@@ -406,6 +406,39 @@ def test_crepe_f16_wire_coarse_bins_bounded(rng):
     assert d.max() <= 2, d.max()
     assert np.mean(d == 0) > 0.95, np.mean(d == 0)
 
+    # production TPU combo: bf16 conv multiplicands (f32 accumulate,
+    # crepe_salience compute_dtype) + the f16 wire. bf16 rounds each
+    # multiplicand to 8 mantissa bits -> ~1e-2 relative on salience, so
+    # the ±4-bin cents average moves a few cents (rel f0 ~1e-3) and
+    # near-tie Viterbi flips (20 cents, 1.2e-2 rel, <= 2 coarse steps)
+    # get more frequent — still inside the reference's fp16-GPU envelope.
+    from polgen_rvc_tpu.models.crepe import crepe_f0_decode as _dec
+
+    sal_bf = np.concatenate([
+        np.asarray(crepe_salience_window(
+            vc.crepe_params, audio_dev, inv_scale, jnp.int32(s),
+            jnp.int32(opts.hop_length), _FRAME_BUCKET,
+            compute_dtype=jnp.bfloat16,
+        ))
+        for s in range(0, int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET,
+                       _FRAME_BUCKET)
+    ])[:n].astype(np.float16)
+    f0 = _dec(sal_bf, f0_min=opts.f0_min, f0_max=opts.f0_max)
+    source = f0.astype(np.float64)
+    source[source < 0.001] = np.nan
+    target = np.interp(
+        np.arange(0, len(source) * p_len, len(source)) / p_len,
+        np.arange(0, len(source)), source,
+    )
+    pf_bf = np.nan_to_num(target).astype(np.float32) * shift
+    c_bf = coarse_f0_np(pf_bf.copy(), opts.f0_min, opts.f0_max)
+    rel = np.abs(pf_bf - pf32) / np.maximum(np.abs(pf32), 1.0)
+    assert np.median(rel) < 3e-3, np.median(rel)
+    assert np.mean(rel < 2e-2) > 0.95, np.mean(rel < 2e-2)
+    d = np.abs(c_bf.astype(np.int64) - c32.astype(np.int64))
+    assert d.max() <= 3, d.max()
+    assert np.mean(d <= 1) > 0.95, np.mean(d <= 1)
+
 
 def test_engine_crepe_and_fcpe_methods(rng):
     from polgen_rvc_tpu.pipeline import ConversionOptions, EngineConfig
