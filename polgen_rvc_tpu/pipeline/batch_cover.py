@@ -215,20 +215,23 @@ class BatchCoverMixin:
                 [[0], np.cumsum(out_lens)]
             )[:-1].astype(np.int64)
             if rate_on and my:
-                # a song's rows ride batches of DIFFERENT buckets (different
-                # trimmed widths): pad each to the song's widest — rows are
-                # zero past their valid length, so pads add exact 0.0s to
-                # every knot sum and the gain stays bit-identical
-                row_list = [
+                # Per-row ±radius neighborhood gain dispatches — the same
+                # geometry as convert()'s streaming dispatch_gain, NOT one
+                # whole-song row set (which round 4 measured SLOWER than
+                # serial: every knot summed over all of a song's rows and
+                # every row was padded to the song's widest bucket). Rows
+                # outside a knot's window add an exact 0.0 to its
+                # sequential sum, so the emitted bytes are bit-identical
+                # to both the whole-song formulation and serial convert().
+                raw_rows = [
                     bucket_outputs[b][bi][row] for _, b, bi, row, _ in my
                 ]
-                out_len = max(r.shape[0] for r in row_list)
+                out_len = max(r.shape[0] for r in raw_rows)
                 row_list = [
                     jnp.pad(r, (0, out_len - r.shape[0]))
                     if r.shape[0] < out_len else r
-                    for r in row_list
+                    for r in raw_rows
                 ]
-                stacked = jnp.stack(row_list, axis=0)
                 up = rec["uploaded"]
                 rms1k = self._rms1_fn(up[0].shape[1])(
                     up[0], up[1], jnp.int32(eng.t_pad),
@@ -237,19 +240,50 @@ class BatchCoverMixin:
                 n1 = 1 + rec["audio"].shape[0] // (eng.sample_rate // 2)
                 n2 = 1 + n_out // hop2
                 nf1 = 1 + up[0].shape[1] // 8000
-                gfn = self._gain_rows_fn(
-                    len(my), out_len, nf1, 0, len(my)
-                )
-                g_rows, g_offs, g_rms1 = self._put_gain_args(
-                    stacked, jnp.asarray(offsets, jnp.int32), rms1k
-                )
-                seg, am = gfn(
-                    g_rows, g_offs, g_rms1,
-                    jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out),
-                    jnp.int32(0), jnp.float32(opts.volume_envelope),
-                )
-                self._start_host_copy(seg, am)
-                song_fetch.append(("gain", seg, am, out_lens))
+                # radius rule mirrors _gain_layout: one neighbor per side
+                # covers the ~3*hop2 knot/interp reach whenever every
+                # middle row spans >= 3*hop2; degenerate short-chunk
+                # configs widen it (bit-identical either way)
+                n_my = len(my)
+                radius = 1
+                if n_my > 2:
+                    min_mid = min(out_lens[1:-1])
+                    if min_mid < 3 * hop2:
+                        radius = min(
+                            n_my - 1,
+                            int(np.ceil(3 * hop2 / max(min_mid, 1))),
+                        )
+                zero_row = jnp.zeros((out_len,), jnp.float32)
+                segs = []
+                for i in range(n_my):
+                    span = range(i - radius, i + radius + 1)
+                    stacked = jnp.stack(
+                        [
+                            row_list[j] if 0 <= j < n_my else zero_row
+                            for j in span
+                        ],
+                        axis=0,
+                    )
+                    offs = np.zeros(2 * radius + 1, np.int64)
+                    for k, j in enumerate(span):
+                        if 0 <= j < n_my:
+                            offs[k] = offsets[j]
+                    k0 = max(0, int(offsets[i]) // hop2 - 2)
+                    gfn = self._gain_rows_fn(
+                        2 * radius + 1, out_len, nf1, radius, radius + 1,
+                        int(raw_rows[i].shape[0]),
+                    )
+                    g_rows, g_offs, g_rms1 = self._put_gain_args(
+                        stacked, jnp.asarray(offs, jnp.int32), rms1k
+                    )
+                    seg, am = gfn(
+                        g_rows, g_offs, g_rms1,
+                        jnp.int32(n1), jnp.int32(n2), jnp.int32(n_out),
+                        jnp.int32(k0), jnp.float32(opts.volume_envelope),
+                    )
+                    self._start_host_copy(seg, am)
+                    segs.append((seg, am))
+                song_fetch.append(("gain_rows", segs, out_lens))
             else:
                 for _, b, bi, _, _ in my:
                     key = (b, bi)
@@ -264,13 +298,13 @@ class BatchCoverMixin:
         results = []
         fetched: dict = {}
         for entry in song_fetch:
-            if entry[0] == "gain":
-                _, seg, am, out_lens = entry
-                seg_h, am_h = np.asarray(seg), np.asarray(am)
-                rows = [
-                    (seg_h[j, :n], am_h[j])
-                    for j, n in enumerate(out_lens) if n
-                ]
+            if entry[0] == "gain_rows":
+                _, segs, out_lens = entry
+                rows = []
+                for (seg, am), n in zip(segs, out_lens):
+                    if n:
+                        rows.append((np.asarray(seg)[0, :n],
+                                     float(np.asarray(am)[0])))
             else:
                 _, my, out_lens = entry
                 rows = []

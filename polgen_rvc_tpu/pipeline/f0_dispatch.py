@@ -100,26 +100,85 @@ class F0DispatchMixin:
             self._crepe_dec_fns[key] = fn
         return self._crepe_dec_fns[key]
 
+    def _crepe_sal_fused_fn(self, samples_bucket: int, n_slabs: int):
+        """Fused device-resident crepe salience: framing + the six-conv
+        stack for ALL of a song's slabs in ONE graph (lax.map over fixed
+        2048-frame slabs — bounds peak HBM exactly like the per-slab
+        dispatches did). Round 4 dispatched ~11 salience graphs plus an
+        eager concatenate per 3-min song; the per-dispatch relay latency
+        cost ~0.4 s/song over the device time itself.
+
+        Emits (n_slabs * 2048, 360) float16 — the same dtype the per-slab
+        graphs put on the wire, so the downstream decode executable
+        (_crepe_decode_fn, Pallas Viterbi) is SHARED with the round-4
+        cache and the f16 envelope stays bounded by the coarse-bin test.
+        The decode deliberately stays its own executable: composing the
+        Pallas Viterbi into one jit with the lax.map salience stack
+        compiled but HUNG at execution on the v5e (first fetch never
+        completed; measured this round), while the split pair runs warm
+        at two dispatches/song. Keyed on (samples_bucket, n_slabs):
+        n_slabs tracks ceil(n_frames/2048), so a non-default hop_length
+        compiles a new graph — the same key surface the decode graph has
+        (padded = n_slabs * 2048)."""
+        from .crepe_method import _FRAME_BUCKET
+
+        key = ("salfused", samples_bucket, n_slabs)
+        if key not in self._crepe_fns:
+            from ..models.crepe import crepe_salience_window
+
+            cdt = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+                   else jnp.float32)
+
+            @jax.jit
+            def fn(params, audio_i16, inv_scale, hop):
+                def slab(start):
+                    return crepe_salience_window(
+                        params, audio_i16, inv_scale, start, hop,
+                        _FRAME_BUCKET, compute_dtype=cdt,
+                    )
+
+                sal = jax.lax.map(
+                    slab,
+                    jnp.arange(n_slabs, dtype=jnp.int32) * _FRAME_BUCKET,
+                )
+                return sal.reshape(
+                    n_slabs * _FRAME_BUCKET, -1
+                ).astype(jnp.float16)
+
+            self._crepe_fns[key] = fn
+        return self._crepe_fns[key]
+
     def _crepe_dispatch_device(self, audio: np.ndarray, p_len: int,
                                opts: ConversionOptions, uploaded=None):
-        """Dispatch the fused crepe salience slabs + decode graph; returns
+        """Dispatch the fused salience graph + the decode graph; returns
         (pitch, pitchf) as UNfetched (1, P) device arrays — the crepe
         analog of _rmvpe_dispatch/_fcpe_dispatch_device, so chunk graphs
         slice F0 on device with no host synchronization (the fetch + host
         Viterbi were 1.2 s of exposed critical path per 3-min song)."""
         from .crepe_method import _FRAME_BUCKET
 
+        import os
+
         audio_dev, inv_scale, t = uploaded or self._upload_audio(audio)
         hop = int(opts.hop_length)
         n = t // hop + 1
-        padded = int(np.ceil(n / _FRAME_BUCKET)) * _FRAME_BUCKET
-        fn = self._crepe_fn(int(audio_dev.shape[1]))
-        outs = [
-            fn(self.crepe_params, audio_dev, inv_scale, jnp.int32(start),
-               jnp.int32(hop))
-            for start in range(0, padded, _FRAME_BUCKET)
-        ]
-        sal = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        n_slabs = int(np.ceil(n / _FRAME_BUCKET))
+        padded = n_slabs * _FRAME_BUCKET
+        if os.environ.get("POLGEN_CREPE_SALFUSED", "1") != "0":
+            sal = self._crepe_sal_fused_fn(int(audio_dev.shape[1]), n_slabs)(
+                self.crepe_params, audio_dev, inv_scale, jnp.int32(hop)
+            )
+        else:
+            # rollback path (POLGEN_CREPE_SALFUSED=0): the round-4
+            # per-slab dispatches + eager concatenate — ~0.4 s/3-min song
+            # of relay dispatch latency, but zero new executables
+            fn = self._crepe_fn(int(audio_dev.shape[1]))
+            outs = [
+                fn(self.crepe_params, audio_dev, inv_scale,
+                   jnp.int32(start), jnp.int32(hop))
+                for start in range(0, padded, _FRAME_BUCKET)
+            ]
+            sal = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         out_bucket = int(audio_dev.shape[1]) // 160 + 1
         shift = np.float32(2.0 ** (opts.pitch / 12.0))
         return self._crepe_decode_fn(
