@@ -90,19 +90,26 @@ def _relay_up() -> bool:
 
 
 def _tpu_probe(timeout_s: float = 150.0) -> bool:
-    """True if a fresh subprocess can actually initialize the TPU backend.
+    """True if a fresh subprocess can initialize the TPU backend AND run a
+    computation to completion (fetch included).
 
     A half-alive relay (port accepting, PJRT init hanging) would otherwise
     hang THIS process forever with no way to fall back — jax backend init
-    is not interruptible once started. The probe fully exits before we
-    init here (one process at a time may hold the chip)."""
+    is not interruptible once started. And a WEDGED chip (a deadlocked
+    program queued ahead; seen round 5) still initializes and lists
+    devices fine while every execution hangs, so the probe must actually
+    fetch a result, not just enumerate devices. The probe fully exits
+    before we init here (one process at a time may hold the chip)."""
     import subprocess
 
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "raise SystemExit(0 if d[0].platform != 'cpu' else 1)"],
+             "import jax, jax.numpy as jnp, numpy as np; "
+             "d = jax.devices(); "
+             "assert d[0].platform != 'cpu'; "
+             "s = float(np.asarray(jnp.sum(jnp.ones((128, 128))))); "
+             "raise SystemExit(0 if s == 16384.0 else 1)"],
             timeout=timeout_s, capture_output=True,
         )
         return r.returncode == 0

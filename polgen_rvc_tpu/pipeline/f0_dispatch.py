@@ -110,15 +110,17 @@ class F0DispatchMixin:
 
         Emits (n_slabs * 2048, 360) float16 — the same dtype the per-slab
         graphs put on the wire, so the downstream decode executable
-        (_crepe_decode_fn, Pallas Viterbi) is SHARED with the round-4
-        cache and the f16 envelope stays bounded by the coarse-bin test.
-        The decode deliberately stays its own executable: composing the
-        Pallas Viterbi into one jit with the lax.map salience stack
-        compiled but HUNG at execution on the v5e (first fetch never
-        completed; measured this round), while the split pair runs warm
-        at two dispatches/song. Keyed on (samples_bucket, n_slabs):
-        n_slabs tracks ceil(n_frames/2048), so a non-default hop_length
-        compiles a new graph — the same key surface the decode graph has
+        (_crepe_decode_fn, Pallas Viterbi) is SHARED with the per-slab
+        path and the f16 envelope stays bounded by the coarse-bin test.
+
+        STATUS: disabled by default (POLGEN_CREPE_SALFUSED). On the
+        remote-relay v5e this executable compiles and loads but HANGS at
+        execution (measured twice, round 5, on a freshly healed chip) —
+        as does the fully fused variant with the Viterbi composed in —
+        wedging the chip until the client disconnects. CPU (tests) runs
+        it fine; the lowering of the scanned conv stack is the suspect.
+        Keyed on (samples_bucket, n_slabs): n_slabs tracks
+        ceil(n_frames/2048), the decode graph's key surface
         (padded = n_slabs * 2048)."""
         from .crepe_method import _FRAME_BUCKET
 
@@ -164,14 +166,21 @@ class F0DispatchMixin:
         n = t // hop + 1
         n_slabs = int(np.ceil(n / _FRAME_BUCKET))
         padded = n_slabs * _FRAME_BUCKET
-        if os.environ.get("POLGEN_CREPE_SALFUSED", "1") != "0":
+        if os.environ.get("POLGEN_CREPE_SALFUSED", "0") == "1":
+            # MEASURED HANG on the v5e (round 5, twice, on a freshly
+            # healed chip): the lax.map salience executable compiles and
+            # loads but never completes execution through the relay,
+            # wedging the chip until the client disconnects. Off by
+            # default until the scan-of-convs lowering is understood;
+            # the design (one dispatch for all slabs) is preserved here
+            # for a local-attached TPU where it can be debugged.
             sal = self._crepe_sal_fused_fn(int(audio_dev.shape[1]), n_slabs)(
                 self.crepe_params, audio_dev, inv_scale, jnp.int32(hop)
             )
         else:
-            # rollback path (POLGEN_CREPE_SALFUSED=0): the round-4
-            # per-slab dispatches + eager concatenate — ~0.4 s/3-min song
-            # of relay dispatch latency, but zero new executables
+            # per-slab dispatches + eager concatenate (the round-4
+            # structure): ~0.3-0.4 s/3-min song of relay dispatch
+            # latency, but proven to run
             fn = self._crepe_fn(int(audio_dev.shape[1]))
             outs = [
                 fn(self.crepe_params, audio_dev, inv_scale,
